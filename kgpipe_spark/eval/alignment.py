@@ -1,0 +1,49 @@
+"""Exact fact alignment + P/R/F1 — the acceptance gate (SURVEY.md §2.9).
+
+Reimplements ``graph_fact_alginment``
+(`/root/reference/src/kgpipe/evaluation/aspects/func/soft_metrics.py:26-36`):
+TP = |actual ∩ expected|, FP = |actual \\ expected|, FN = |expected \\ actual|
+over (s, p, o) keys, and ``BinaryClassificationResult`` math
+(`integration_eval.py:38-72`). Seed subtraction mirrors
+``ReferenceTripleAlignmentMetric`` (`reference.py:443-482`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KEY = ["subject", "predicate", "object_lex", "object_kind"]
+
+
+def subtract_kg(triples: DataFrame, seed: DataFrame) -> DataFrame:
+    """actual \\ seed — `reference.py:463-482` / `kg_utils.py:164-176`."""
+    return triples.join(seed.select(*_KEY).distinct(), _KEY, "left_anti")
+
+
+def fact_alignment(actual: DataFrame, expected: DataFrame) -> DataFrame:
+    """One-row DataFrame: tp, fp, fn, precision, recall, f1 (rounded 6dp)."""
+    a = actual.select(*_KEY).distinct()
+    e = expected.select(*_KEY).distinct()
+    tp = a.join(e, _KEY, "left_semi").count()
+    fp = a.join(e, _KEY, "left_anti").count()
+    fn = e.join(a, _KEY, "left_anti").count()
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    spark = actual.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+def alignment_sets(actual: DataFrame, expected: DataFrame) -> dict[str, DataFrame]:
+    """The TP/FP/FN triple sets themselves (for inspection / soft variants)."""
+    a = actual.select(*_KEY).distinct()
+    e = expected.select(*_KEY).distinct()
+    return {
+        "tp": a.join(e, _KEY, "left_semi"),
+        "fp": a.join(e, _KEY, "left_anti"),
+        "fn": e.join(a, _KEY, "left_anti"),
+    }

@@ -1,0 +1,54 @@
+"""ER task evaluation + duplicates (SURVEY.md §2.9).
+
+ - ``evaluate_matching`` mirrors ``evaluate_entity_matching``
+   (`/root/reference/src/kgpipe_eval/.../er_task_eval.py:354-440`): a
+   predicted pair is TP iff both endpoints share a gold cluster.
+ - ``duplicate_entities`` mirrors ``eval_duplicates``
+   (`src/kgpipe_eval/metrics/duplicates.py:21-42`): >1 actual entity aligned
+   to the same reference entity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def evaluate_matching(predicted: DataFrame, gold_clusters: DataFrame) -> DataFrame:
+    """predicted(id_1,id_2,...) vs gold_clusters(cluster_id, entity_uri) →
+    one row (tp, fp, fn, precision, recall, f1). Gold pairs are all
+    unordered within-cluster pairs (cluster.py:134-175 pairwise semantics).
+    """
+    g = gold_clusters.select("cluster_id", F.col("entity_uri").alias("e"))
+    gold_pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "cluster_id")
+        .filter(F.col("a.e") < F.col("b.e"))
+        .select(F.col("a.e").alias("id_1"), F.col("b.e").alias("id_2"))
+        .distinct()
+    )
+    pred_pairs = predicted.select(
+        F.least("id_1", "id_2").alias("id_1"), F.greatest("id_1", "id_2").alias("id_2")
+    ).distinct()
+
+    tp = pred_pairs.join(gold_pairs, ["id_1", "id_2"], "left_semi").count()
+    fp = pred_pairs.join(gold_pairs, ["id_1", "id_2"], "left_anti").count()
+    fn = gold_pairs.join(pred_pairs, ["id_1", "id_2"], "left_anti").count()
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return predicted.sparkSession.createDataFrame(
+        [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+def duplicate_entities(alignment: DataFrame) -> DataFrame:
+    """alignment(actual_uri, reference_uri) → reference entities with >1
+    aligned actual entity, with the count."""
+    return (
+        alignment.groupBy("reference_uri")
+        .agg(F.countDistinct("actual_uri").alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+        .orderBy(F.desc("n_dupes"), F.asc("reference_uri"))
+    )

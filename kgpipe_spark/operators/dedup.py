@@ -1,0 +1,285 @@
+"""Large-scale training-data deduplication operators.
+
+Beyond the reference's own operators (which dedupe only at triple level via
+set semantics), a 100 TB corpus pipeline needs document-level dedup. All
+variants are expressed with built-in JVM functions (no Python in the hot
+path); MinHash signatures use md5-based hashes so results are portable and
+deterministic across engines.
+
+ - ``exact_duplicates``      — hash-groupBy on normalized text.
+ - ``minhash_signatures``    — k permutation-free min-hashes over word
+                                shingles: h_i(doc) = min(md5(i || shingle)).
+ - ``minhash_lsh_pairs``     — band the signature, bucket-join, verify with
+                                exact shingle Jaccard ≥ threshold.
+ - ``ngram_jaccard_pairs``   — exact n-gram Jaccard join (token blocking).
+ - ``simhash_fingerprints``  — 32-bit SimHash over word tokens (bit-majority
+                                of md5-derived token hashes).
+ - ``embedding_near_duplicates`` — cosine ≥ t pairs over an embedding column
+                                (brute within LSH-ish buckets, see
+                                similarity.py for the ANN path).
+
+Scale notes: every pair-producing operator blocks first (LSH bands / shared
+tokens) so no O(n²) pair enumeration happens; bands and token blocks are the
+shuffle keys, AQE splits skewed buckets; stop-token blocks are capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(_norm_text(col), " "), lambda w: w != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of distinct n-word shingles (JVM higher-order functions)."""
+    words = _words(col)
+    k = F.size(words) - F.lit(n - 1)
+    shingles = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, n_copies, keep_id, doc_ids) for texts appearing >1×.
+
+    keep_id = min id — the deterministic survivor.
+    """
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(_norm_text(F.col(text_col))).alias("content_hash")
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<STRING>) — sig[i] = min over shingles of
+    md5(i:shingle). Permutation-free MinHash; md5 keeps it deterministic and
+    engine-portable."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat_ws(":", i.cast("string"), s))
+            )
+        ),
+    )
+    return sh.select("doc_id", F.col("shingles"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH.
+
+    Candidates share at least one full band; verification computes exact
+    shingle Jaccard (array_intersect/union) and filters ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ t pairs via shared-shingle blocking.
+
+    Blocks on each shingle (capped at ``max_block`` docs to kill stop-shingle
+    blowup), counts shared shingles per pair, then Jaccard from per-doc
+    shingle counts — no arrays are carried through the shuffle.
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .dropDuplicates()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    block_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("bn")).filter(
+        F.col("bn") <= max_block
+    )
+    sh_f = sh.join(block_ok.select("shingle"), "shingle", "left_semi")
+
+    pairs = (
+        sh_f.alias("x")
+        .join(sh_f.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash BIGINT) — bit b set iff the majority of word tokens
+    have md5-bit b set. Pure JVM: per-token bits from conv(md5 hex, 16, 10).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_words(F.col(text_col)))).alias("tok"),
+    )
+    # token hash = first 8 hex chars of md5 → 32-bit int (conv returns string)
+    toks = toks.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    )
+    per_bit = [
+        F.sum(F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{b}"
+        )
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*per_bit)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming, blocked on the 4 byte-bands
+    of the fingerprint (a pair within distance 3 must agree on ≥1 of 4
+    bands — pigeonhole)."""
+    fps = simhash_fingerprints(docs, id_col, text_col, bits)
+    bands = bits // block_bits
+    mask = (1 << block_bits) - 1
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band_key")
+    b = banded.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band_key")
+    cand = a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    hamming = F.bit_count(xor)
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Cosine ≥ t pairs. With ``bucket_col``, pairs are only searched within
+    buckets (IVF-style); without, all pairs (use only at small n)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [F.lit(0).alias("bucket")] ),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
+    b = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,179 @@
+"""Fusion operators (SURVEY.md §2.7) + canonicalization rewrites (§2.6).
+
+ - ``canonicalize_triples`` — rewrite subject / URI-object / predicate via a
+   canonical map (`preference.py:145-175`), emitting an ``owl:sameAs``
+   provenance DataFrame instead of the reference's sidecar graph.
+ - ``fuse_first_value`` — the main fuser (`preference.py:103-227`):
+   seed-priority first-value for fusable props (max_cardinality==1 ∪
+   {rdfs:label, rdf:type}), presence-guard for the rest. The reference's
+   "first" iterates an unordered rdflib set (nondeterministic); we pin a
+   stable content-hash order (SURVEY.md §4.2.4).
+ - ``fuse_union`` — canonicalize + union + dedupe (`fusion/union.py:15-105`).
+ - ``fuse_majority`` — most frequent value, ties by avg score then stable
+   hash (`fusion/majority.py:3-48`).
+ - ``allowed_predicate_filter`` / ``type_namespace_filter`` — the guards the
+   first-value fuser applies up front (`preference.py:127,188-193`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgpipe_spark.functions.hashing import stable_order_key
+from kgpipe_spark.schemas import OWL_SAME_AS, RDF_TYPE, RDFS_LABEL, TRIPLE_COLS
+
+
+def allowed_predicate_filter(triples: DataFrame, allowed: DataFrame) -> DataFrame:
+    """Keep triples whose predicate ∈ allowed(predicate) — broadcast semi-join
+    (`preference.py:127,188-190`)."""
+    return triples.join(F.broadcast(allowed.select("predicate").distinct()), "predicate", "left_semi")
+
+
+def type_namespace_filter(triples: DataFrame, namespace: str) -> DataFrame:
+    """Drop rdf:type triples whose object is outside the target ontology
+    namespace (`preference.py:192-193`)."""
+    return triples.filter(
+        ~((F.col("predicate") == RDF_TYPE) & ~F.col("object_lex").startswith(namespace))
+    )
+
+
+def canonicalize_triples(
+    triples: DataFrame, canon: DataFrame, rewrite_predicates: bool = False
+) -> DataFrame:
+    """Rewrite subject and URI objects (and optionally predicates) to cluster
+    representatives. ``canon`` = (entity, canonical).
+
+    The map can be large (one row per aliased entity) so it is NOT force-
+    broadcast; AQE picks broadcast vs shuffle join from runtime stats.
+    """
+    c = canon
+
+    out = (
+        triples.join(c.withColumnRenamed("entity", "subject"), "subject", "left")
+        .withColumn("subject", F.coalesce(F.col("canonical"), F.col("subject")))
+        .drop("canonical")
+    )
+    obj_canon = c.select(
+        F.col("entity").alias("object_lex"), F.col("canonical").alias("__obj_canon")
+    )
+    out = (
+        out.join(obj_canon, "object_lex", "left")
+        .withColumn(
+            "object_lex",
+            F.when(
+                (F.col("object_kind") == "uri") & F.col("__obj_canon").isNotNull(),
+                F.col("__obj_canon"),
+            ).otherwise(F.col("object_lex")),
+        )
+        .drop("__obj_canon")
+    )
+    if rewrite_predicates:
+        pred_canon = c.select(
+            F.col("entity").alias("predicate"), F.col("canonical").alias("__pred_canon")
+        )
+        out = (
+            out.join(pred_canon, "predicate", "left")
+            .withColumn("predicate", F.coalesce(F.col("__pred_canon"), F.col("predicate")))
+            .drop("__pred_canon")
+        )
+    return out
+
+
+def sameas_provenance(canon: DataFrame) -> DataFrame:
+    """owl:sameAs triples recording the rewrite (`preference.py:214-227`)."""
+    return canon.select(
+        F.col("entity").alias("subject"),
+        F.lit(OWL_SAME_AS).alias("predicate"),
+        F.col("canonical").alias("object_lex"),
+        F.lit("uri").alias("object_kind"),
+        F.lit(None).cast("string").alias("object_datatype"),
+    )
+
+
+def fusable_predicates(ontology: DataFrame) -> DataFrame:
+    """Predicates with max_cardinality == 1, plus rdfs:label / rdf:type
+    (`preference.py:103-135` fusable set)."""
+    card1 = ontology.filter(F.col("max_cardinality") == 1).select(F.col("uri").alias("predicate"))
+    extra = card1.sparkSession.createDataFrame(
+        [(RDFS_LABEL,), (RDF_TYPE,)], ["predicate"]
+    )
+    return card1.unionByName(extra).distinct()
+
+
+def fuse_first_value(
+    seed: DataFrame, source: DataFrame, fusable: DataFrame
+) -> DataFrame:
+    """Seed-priority first-value fusion (`preference.py:103-227`).
+
+    fusable props: add source value only if seed has NO value for (s,p)
+      → left_anti on (s,p), then one value per (s,p) by stable-hash order.
+    non-fusable props: add source triple only if absent from seed
+      → left_anti on (s,p,o).
+    Result = seed ∪ surviving source triples, deduped.
+    """
+    tcols = TRIPLE_COLS
+    seed_t = seed.select(*tcols)
+    src_t = source.select(*tcols)
+
+    src_fusable = src_t.join(F.broadcast(fusable), "predicate", "left_semi")
+    src_rest = src_t.join(F.broadcast(fusable), "predicate", "left_anti")
+
+    seed_sp = seed_t.select("subject", "predicate").distinct()
+    new_fusable = src_fusable.join(seed_sp, ["subject", "predicate"], "left_anti")
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        stable_order_key(F.col("object_lex"), F.col("object_kind"), F.col("object_datatype"))
+    )
+    first_vals = (
+        new_fusable.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+    new_rest = src_rest.join(
+        seed_t, ["subject", "predicate", "object_lex", "object_kind"], "left_anti"
+    )
+
+    return (
+        seed_t.unionByName(first_vals)
+        .unionByName(new_rest)
+        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+    )
+
+
+def fuse_union(seed: DataFrame, source: DataFrame) -> DataFrame:
+    """Graph union with set semantics (`fusion/union.py:44-58`; rdflib Graph
+    union dedupes implicitly)."""
+    tcols = TRIPLE_COLS
+    return (
+        seed.select(*tcols)
+        .unionByName(source.select(*tcols))
+        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+    )
+
+
+def fuse_majority(source: DataFrame) -> DataFrame:
+    """Most-frequent value per (s,p); ties by avg score desc then stable hash
+    (`fusion/majority.py:3-48`)."""
+    score_col = F.col("score") if "score" in source.columns else F.lit(1.0)
+    grouped = source.groupBy(
+        "subject", "predicate", "object_lex", "object_kind", "object_datatype"
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg(score_col).alias("avg_score"))
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        F.desc("n"),
+        F.desc("avg_score"),
+        stable_order_key(F.col("object_lex"), F.col("object_kind")),
+    )
+    return (
+        grouped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*TRIPLE_COLS)
+    )
+
+
+def aggregate_matches(m1: DataFrame, m2: DataFrame) -> DataFrame:
+    """Union two ER match sets, rewriting id_type 'str'→'relation'
+    (`fusion/simple.py:10-37` aggregate_2matches)."""
+    u = m1.unionByName(m2)
+    return u.withColumn(
+        "id_type", F.regexp_replace(F.col("id_type"), r"^str$", "relation")
+    ).dropDuplicates(["id_1", "id_2", "id_type"])

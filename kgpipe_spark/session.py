@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale notes (100 TB / 1000-executor design intent, tested on local[N]):
+ - AQE on: runtime coalescing + skew-join splitting handles mega-repo skew
+   (SURVEY.md §4.2.3) without hand-tuned partition counts.
+ - Arrow enabled for all pandas UDF exchange; batch size bounded the way the
+   reference bounds embedding batches to 64
+   (`/root/reference/src/kgpipe/evaluation/aspects/func/soft_metrics.py:18-24`)
+   — we use far larger Arrow batches (10k) since our UDFs are vectorized.
+ - shuffle partitions default to cores on local mode; on a real cluster this
+   is overridden by AQE coalescing from a higher initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kgpipe-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if cpus.isdigit() else "32"
+        shuffle_partitions = max(int(n), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,70 @@
+from pyspark.sql import functions as F
+
+from kgpipe_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 1
+        (4, "completely different text about spark dataframes and shuffle plans here"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark)).collect()
+    assert len(d) == 1
+    assert d[0]["n_copies"] == 2 and d[0]["keep_id"] == 1 and d[0]["doc_ids"] == [1, 2]
+
+
+def test_minhash_signature_properties(spark):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert same > 0  # near-dups share some minhashes
+    assert sum(a == b for a, b in zip(sigs[1], sigs[4])) < same
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+
+
+def test_simhash(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert fps[1] == fps[2]
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham13 < ham14
+    nd = {(r["id_a"], r["id_b"]) for r in simhash_near_duplicates(_docs(spark), max_hamming=ham13).collect()}
+    assert (1, 2) in nd and (1, 3) in nd
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(e, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,105 @@
+from kgpipe_spark.eval.alignment import fact_alignment, subtract_kg
+from kgpipe_spark.eval.er_eval import duplicate_entities, evaluate_matching
+from kgpipe_spark.eval.semantic import (
+    cardinality_violations,
+    datatype_violations,
+    disjoint_class_violations,
+    domain_violations,
+    object_prop_violations,
+)
+from kgpipe_spark.eval.statistics import class_histogram, count_measures, predicate_histogram
+from kgpipe_spark.schemas import RDF_TYPE, XSD_INTEGER, XSD_STRING
+
+TRIPLE_DDL = "subject string, predicate string, object_lex string, object_kind string, object_datatype string"
+ONTO_DDL = "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int"
+
+
+def t(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_DDL)
+
+
+def test_fact_alignment_prf(spark):
+    actual = t(spark, [("s", "p", "o1", "literal", None), ("s", "p", "o2", "literal", None)])
+    expected = t(spark, [("s", "p", "o1", "literal", None), ("s", "p", "o3", "literal", None)])
+    r = fact_alignment(actual, expected).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["f1"] == 0.5
+
+
+def test_subtract_kg(spark):
+    a = t(spark, [("s", "p", "o", "literal", None), ("s", "p", "o2", "literal", None)])
+    seed = t(spark, [("s", "p", "o", "literal", None)])
+    assert subtract_kg(a, seed).collect()[0]["object_lex"] == "o2"
+
+
+def test_count_measures(spark):
+    triples = t(
+        spark,
+        [
+            ("e1", RDF_TYPE, "C1", "uri", None),
+            ("e1", "p1", "e2", "uri", None),
+            ("e1", "p2", "lit", "literal", None),
+            ("e3", "p1", "e1", "uri", None),
+        ],
+    )
+    r = count_measures(triples).collect()[0]
+    assert r["n_triples"] == 4
+    assert r["n_entities"] == 4  # e1, e3 subjects; e2, C1, e1 uri objects → {e1,e2,e3,C1}
+    assert r["n_relations"] == 3
+    assert r["n_classes"] == 1
+    assert predicate_histogram(triples).collect()[0]["n"] == 2
+    assert class_histogram(triples).collect()[0]["class_uri"] == "C1"
+
+
+def test_er_matching_eval(spark):
+    gold = spark.createDataFrame(
+        [("c1", "a"), ("c1", "b"), ("c1", "c"), ("c2", "x"), ("c2", "y")],
+        ["cluster_id", "entity_uri"],
+    )
+    pred = spark.createDataFrame(
+        [("a", "b", 0.9, "entity"), ("x", "q", 0.9, "entity")],
+        ["id_1", "id_2", "score", "id_type"],
+    )
+    r = evaluate_matching(pred, gold).collect()[0]
+    # gold pairs: (a,b),(a,c),(b,c),(x,y) → tp=1, fp=1, fn=3
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 3)
+
+
+def test_duplicates(spark):
+    al = spark.createDataFrame(
+        [("a1", "ref1"), ("a2", "ref1"), ("a3", "ref2")], ["actual_uri", "reference_uri"]
+    )
+    rows = duplicate_entities(al).collect()
+    assert len(rows) == 1 and rows[0]["reference_uri"] == "ref1" and rows[0]["n_dupes"] == 2
+
+
+def test_semantic_validators(spark):
+    onto = spark.createDataFrame(
+        [
+            ("p_card1", "p", None, None, None, None, 1),
+            ("p_dom", "p", None, "C_expected", None, None, None),
+            ("p_dt", "p", None, None, "http://www.w3.org/2001/XMLSchema#integer", None, None),
+            ("p_obj", "p", None, None, None, "true", None),
+        ],
+        ONTO_DDL,
+    )
+    triples = t(
+        spark,
+        [
+            ("s1", "p_card1", "v1", "literal", None),
+            ("s1", "p_card1", "v2", "literal", None),  # cardinality violation
+            ("s2", RDF_TYPE, "C_other", "uri", None),
+            ("s2", "p_dom", "v", "literal", None),      # domain violation
+            ("s3", "p_dt", "abc", "literal", XSD_STRING),  # datatype violation
+            ("s4", "p_dt", "42", "literal", XSD_INTEGER),  # ok
+            ("s5", "p_obj", "lit", "literal", None),    # object prop w/ literal
+        ],
+    )
+    assert cardinality_violations(triples, onto).count() == 1
+    assert domain_violations(triples, onto).count() == 1
+    assert datatype_violations(triples, onto).count() == 1
+    assert object_prop_violations(triples, onto).count() == 1
+
+    disjoint = spark.createDataFrame([("CA", "CB")], ["cls_a", "cls_b"])
+    tt = t(spark, [("e", RDF_TYPE, "CA", "uri", None), ("e", RDF_TYPE, "CB", "uri", None)])
+    assert disjoint_class_violations(tt, disjoint).count() == 1

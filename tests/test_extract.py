@@ -1,0 +1,89 @@
+import json
+
+from pyspark.sql import functions as F
+
+from kgpipe_spark.operators.extract import (
+    extract_code_triples,
+    extract_json_triples,
+    extract_text_surface_triples,
+)
+from kgpipe_spark.schemas import RDF_TYPE, RDFS_LABEL, XSD_INTEGER
+
+
+def test_corpus_deterministic(spark):
+    from kgpipe_spark.corpus import synth_corpus
+
+    a = synth_corpus(spark, 50).collect()
+    b = synth_corpus(spark, 50).collect()
+    assert a == b
+    # content sha256 invariant column material: content is non-null, langs valid
+    langs = {r["lang"] for r in a}
+    assert langs <= {"json", "python", "text"}
+    assert all(len(r["commit"]) == 40 for r in a)
+
+
+def test_json_extraction_semantics(spark):
+    doc = {
+        "film_title": "Film X",
+        "director": {"name": "Jane Doe", "birthYear": 1970},
+        "starring": ["Actor 1", "Actor 2"],
+        "runtime": 120,
+    }
+    corpus = spark.createDataFrame(
+        [("r", "p.json", "c" * 40, "json", json.dumps(doc))],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t = extract_json_triples(corpus)
+    rows = t.collect()
+    preds = {r["predicate"] for r in rows}
+    assert RDFS_LABEL in preds  # labelish keys: film_title, name
+    assert RDF_TYPE in preds
+    # nested dict produces an object edge
+    director_edges = [r for r in rows if r["predicate"].endswith("prop/director")]
+    assert len(director_edges) == 1 and director_edges[0]["object_kind"] == "uri"
+    # list → repeated literal edges
+    starring = [r for r in rows if r["predicate"].endswith("prop/starring")]
+    assert len(starring) == 2
+    # int literal typed xsd:integer
+    runtime = [r for r in rows if r["predicate"].endswith("prop/runtime")]
+    assert runtime[0]["object_datatype"] == XSD_INTEGER
+    # deterministic minting: same doc twice → same URIs
+    rows2 = extract_json_triples(corpus).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_code_extraction(spark):
+    code = "import os\nimport films.registry_1\n\nclass FilmX:\n    def get_director(self):\n        pass\n"
+    corpus = spark.createDataFrame(
+        [("r", "a.py", "c" * 40, "python", code)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = extract_code_triples(corpus).collect()
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["predicate"].split("/")[-1], []).append(r["object_lex"])
+    assert sorted(by_pred["imports"]) == ["films.registry_1", "os"]
+    assert by_pred["defines_class"] == ["FilmX"]
+    assert by_pred["defines_function"] == ["get_director"]
+
+
+def test_text_extraction(spark):
+    corpus = spark.createDataFrame(
+        [("r", "a.txt", "c" * 40, "text", "Film 7 was directed by Director 3. It stars Actor 1 and Actor 2.")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = extract_text_surface_triples(corpus).collect()
+    got = {(r["subj_surface"], r["pred_surface"], r["obj_surface"]) for r in rows}
+    assert got == {
+        ("Film 7", "directed by", "Director 3"),
+        ("Film 7", "stars", "Actor 1"),
+        ("Film 7", "stars", "Actor 2"),
+    }
+
+
+def test_content_sha_roundtrip(spark, small_corpus):
+    # per-row invariant (BASELINE.json input_hint): sha2(content,256) is
+    # unchanged by the pipeline (we never mutate the corpus table)
+    before = small_corpus.select("repo", "path", F.sha2("content", 256).alias("h"))
+    after = small_corpus.select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert before.exceptAll(after).count() == 0

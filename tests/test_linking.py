@@ -1,0 +1,77 @@
+from pyspark.sql import functions as F
+
+from kgpipe_spark.operators.linking import (
+    label_dictionary,
+    link_exact,
+    link_embedding_topk,
+    link_minhash_lsh,
+    link_or_mint,
+)
+from kgpipe_spark.schemas import RDFS_LABEL, SKOS_ALT_LABEL
+
+TRIPLE_DDL = "subject string, predicate string, object_lex string, object_kind string, object_datatype string"
+
+
+def _kg(spark):
+    return spark.createDataFrame(
+        [
+            ("http://kg.org/person/d1", RDFS_LABEL, "Director 1", "literal", None),
+            ("http://kg.org/person/d1", SKOS_ALT_LABEL, "DIRECTOR 1", "literal", None),
+            ("http://kg.org/person/d2", RDFS_LABEL, "Director 2", "literal", None),
+            ("http://kg.org/person/d2", "other", "x", "literal", None),
+        ],
+        TRIPLE_DDL,
+    )
+
+
+def _mentions(spark, texts):
+    return spark.createDataFrame(
+        [(f"doc{i}", "entity", t) for i, t in enumerate(texts)],
+        "doc_uri string, kind string, query_text string",
+    )
+
+
+def test_label_dictionary_normalizes(spark):
+    d = label_dictionary(_kg(spark))
+    rows = {(r["uri"], r["norm_label"]) for r in d.collect()}
+    # label + altLabel, both normalized; altLabel normalizes to same string → deduped
+    assert rows == {
+        ("http://kg.org/person/d1", "director 1"),
+        ("http://kg.org/person/d2", "director 2"),
+    }
+
+
+def test_link_exact_hit_and_miss(spark):
+    d = label_dictionary(_kg(spark))
+    m = _mentions(spark, ["director 1", "Director_2", "Nobody Here"])
+    out = {r["query_text"]: r["mapping"] for r in link_exact(m, d).collect()}
+    assert out["director 1"] == "http://kg.org/person/d1"
+    assert out["Director_2"] == "http://kg.org/person/d2"  # _ normalized
+    assert out["Nobody Here"] is None
+
+
+def test_link_or_mint_deterministic(spark):
+    d = label_dictionary(_kg(spark))
+    m = _mentions(spark, ["Nobody Here", "nobody_here"])
+    out = link_or_mint(link_exact(m, d)).collect()
+    uris = {r["resolved_uri"] for r in out}
+    # same normalized surface → same minted URI (sha256 of normalized form)
+    assert len(uris) == 1
+    assert next(iter(uris)).startswith("http://kg.org/newE/")
+
+
+def test_link_embedding_topk(spark):
+    d = label_dictionary(_kg(spark))
+    m = _mentions(spark, ["Director 1", "totally unrelated zzz"])
+    out = {r["query_text"]: (r["mapping"], r["score"]) for r in link_embedding_topk(m, d, spark).collect()}
+    assert out["Director 1"][0] == "http://kg.org/person/d1"
+    assert out["Director 1"][1] is not None and out["Director 1"][1] > 0.99
+    assert out["totally unrelated zzz"][0] is None
+
+
+def test_link_minhash_lsh(spark):
+    d = label_dictionary(_kg(spark))
+    m = _mentions(spark, ["Director 1", "Directer 1"])  # typo variant
+    out = {r["query_text"]: r["mapping"] for r in link_minhash_lsh(m, d, jaccard_threshold=0.3).collect()}
+    assert out.get("Director 1") == "http://kg.org/person/d1"
+    assert out.get("Directer 1") == "http://kg.org/person/d1"

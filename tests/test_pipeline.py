@@ -1,0 +1,64 @@
+import os
+
+from pyspark.sql import functions as F
+
+from kgpipe_spark.eval.alignment import fact_alignment
+from kgpipe_spark.pipelines import run_flagship
+from kgpipe_spark.plans.pipeline import Pipeline, Stage
+from kgpipe_spark.schemas import RDFS_LABEL
+
+
+def test_flagship_end_to_end(spark, small_corpus, seed):
+    out = run_flagship(spark, small_corpus, seed).cache()
+    rows1 = {tuple(r) for r in out.collect()}
+    assert len(rows1) > 0
+    # deterministic end-to-end (collect-based compare: exceptAll on twin
+    # exploded plans trips a Spark 4.1 optimizer bug, ATTRIBUTE_NOT_FOUND)
+    rows2 = {tuple(r) for r in run_flagship(spark, small_corpus, seed).collect()}
+    assert rows1 == rows2
+    # linked: director mentions resolve to seed URIs (no newE for "Director k")
+    labels = out.filter(
+        (F.col("predicate") == RDFS_LABEL) & F.col("object_lex").startswith("Director ")
+    )
+    assert labels.filter(F.col("subject").startswith("http://kg.org/newE/")).count() == 0
+    # P/R of the pipeline against a reconstructed copy (alignment math sanity)
+    copy = spark.createDataFrame(
+        sorted(rows1),
+        "subject string, predicate string, object_lex string, object_kind string, object_datatype string",
+    )
+    r = fact_alignment(out, copy).collect()[0]
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    df = spark.range(100).withColumnRenamed("id", "n")
+    calls = []
+
+    def stage_a(d):
+        calls.append("a")
+        return d.withColumn("n2", F.col("n") * 2)
+
+    def stage_b(d):
+        calls.append("b")
+        return d.filter(F.col("n2") > 100)
+
+    stages = [Stage("double", stage_a), Stage("filter", stage_b, {"min": 100})]
+    p1 = Pipeline(spark, stages, checkpoint_dir=str(tmp_path))
+    out1 = p1.run(df)
+    assert out1.count() == 49
+    assert [r["status"] for r in p1.report] == ["done", "done"]
+    assert all(r["rows"] >= 0 and r["duration_sec"] >= 0 for r in p1.report)
+    assert os.path.exists(os.path.join(str(tmp_path), "manifest.json"))
+
+    # resume: same input fingerprint → both stages skipped
+    p2 = Pipeline(spark, stages, checkpoint_dir=str(tmp_path))
+    out2 = p2.run(df)
+    assert out2.count() == 49
+    assert [r["status"] for r in p2.report] == ["skipped", "skipped"]
+    assert calls == ["a", "b"]  # stage fns not re-invoked
+
+    # config change → stage re-runs (hash chain)
+    stages3 = [Stage("double", stage_a), Stage("filter", stage_b, {"min": 101})]
+    p3 = Pipeline(spark, stages3, checkpoint_dir=str(tmp_path))
+    p3.run(df)
+    assert [r["status"] for r in p3.report] == ["skipped", "done"]

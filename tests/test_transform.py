@@ -1,0 +1,67 @@
+from pyspark.sql import functions as F
+
+from kgpipe_spark.operators.transform import (
+    ntriples_lines,
+    parse_ntriples,
+    pivot_triples_to_wide,
+    remove_empty_literals,
+    type_inference_simple,
+)
+from kgpipe_spark.schemas import RDF_TYPE, SKOS_ALT_LABEL, XSD_INTEGER
+
+TRIPLE_DDL = "subject string, predicate string, object_lex string, object_kind string, object_datatype string"
+
+
+def t(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_DDL)
+
+
+def test_pivot_wide(spark):
+    triples = t(
+        spark,
+        [
+            ("s1", "p", "b", "literal", None),
+            ("s1", "p", "a", "literal", None),
+            ("s1", "q", "u1", "uri", None),
+            ("s2", "p", "c", "literal", None),
+        ],
+    )
+    wide = pivot_triples_to_wide(triples, predicates=["p_literal", "q_uri"])
+    rows = {r["subject"]: (r["p_literal"], r["q_uri"]) for r in wide.collect()}
+    assert rows["s1"] == ("a; b", "u1")  # multi-values sorted, "; "-joined
+    assert rows["s2"][0] == "c"
+
+
+def test_type_inference(spark):
+    onto = spark.createDataFrame(
+        [("p", "p", None, "C_dom", "C_rng", "true", None)],
+        "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+    )
+    triples = t(spark, [("s", "p", "o", "uri", None)])
+    got = {(r["subject"], r["object_lex"]) for r in type_inference_simple(triples, onto).collect()}
+    assert got == {("s", "C_dom"), ("o", "C_rng")}
+
+
+def test_ntriples_roundtrip(spark):
+    triples = t(
+        spark,
+        [
+            ("http://e/s", "http://p/p", "http://e/o", "uri", None),
+            ("http://e/s", "http://p/q", 'say "hi"\nplease', "literal", None),
+            ("http://e/s", "http://p/r", "42", "literal", XSD_INTEGER),
+            ("http://e/s", SKOS_ALT_LABEL, "alt", "literal", None),
+        ],
+    )
+    lines = ntriples_lines(triples)
+    back = parse_ntriples(lines, drop_alt_labels=True)
+    rows = {(r["subject"], r["predicate"], r["object_lex"], r["object_kind"], r["object_datatype"]) for r in back.collect()}
+    # altLabel dropped on load (kg.py:40-45); strings get explicit xsd:string
+    assert len(rows) == 3
+    assert ("http://e/s", "http://p/p", "http://e/o", "uri", None) in rows
+    assert ("http://e/s", "http://p/q", 'say "hi"\nplease', "literal", "http://www.w3.org/2001/XMLSchema#string") in rows
+    assert ("http://e/s", "http://p/r", "42", "literal", XSD_INTEGER) in rows
+
+
+def test_remove_empty_literals(spark):
+    triples = t(spark, [("s", "p", "  ", "literal", None), ("s", "p", "x", "literal", None)])
+    assert remove_empty_literals(triples).count() == 1
