@@ -523,6 +523,276 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
+    q.update(_relational_queries())
+    q.update(_doc_queries())
+    q.update(_emb_queries())
+    return q
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.10 checklist over TPC-H-ish data)
+# ---------------------------------------------------------------------------
+
+
+def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pyspark.sql.window import Window
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _q1(s, d):
+        li = _read(s, d, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        dec = lambda c: c.cast("decimal(20,4)")
+        # computed money values are floor-quantized to 1e-4 BEFORE the sum:
+        # double→decimal cast rounding modes differ across engines (HALF_UP
+        # vs HALF_EVEN) but floor(x*10000) is pure IEEE double → identical
+        quant = lambda c: (F.floor(c * 10000).cast("decimal(30,0)") / 10000).cast("decimal(20,4)")
+        g = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            F.sum(
+                quant(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        return g.select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+            "count_order",
+        )
+
+    q["rel_q1_pricing_summary"] = _q1
+
+    def _q3(s, d):
+        cust = _read(s, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _read(s, d, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        li = _read(s, d, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        dec = lambda c: c.cast("decimal(20,4)")
+        quant = lambda c: (F.floor(c * 10000).cast("decimal(30,0)") / 10000).cast("decimal(20,4)")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        )
+        return j.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+    q["rel_q3_top10"] = _q3
+
+    def _enrich(s, d):
+        cust = _read(s, d, "customer")
+        nation = _read(s, d, "nation")
+        region = _read(s, d, "region")
+        dec = lambda c: c.cast("decimal(20,4)")
+        return (
+            cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(dec(F.col("c_acctbal"))).alias("total_acctbal"),
+            )
+        )
+
+    q["rel_join_enrich"] = _enrich
+
+    def _anti(s, d):
+        cust = _read(s, d, "customer")
+        orders = _read(s, d, "orders")
+        no_orders = cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        )
+        return no_orders.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count(F.lit(1)).alias("n_customers")
+        )
+
+    q["rel_customers_without_orders"] = _anti
+
+    def _topk(s, d):
+        orders = _read(s, d, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            orders.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        )
+
+    q["rel_window_top_orders"] = _topk
+
+    def _sessionize(s, d):
+        ev = _read(s, d, "events").withColumn(
+            "tsec", F.col("ts").cast("timestamp").cast("long")
+        )
+        w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+        gap = F.col("tsec") - F.lag(F.col("tsec")).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_sess").cast("bigint").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    q["rel_events_sessionize"] = _sessionize
+
+    def _events_json(s, d):
+        ev = _read(s, d, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
+        )
+
+    q["rel_events_json_extract"] = _events_json
+
+    def _except(s, d):
+        ev = _read(s, d, "events")
+        a = ev.filter(F.col("user_id") % 10 == 3).select("event_type").distinct()
+        b = ev.filter((F.col("user_id") % 10 == 3) & (F.col("value") > 50)).select(
+            "event_type"
+        ).distinct()
+        return a.exceptAll(b).select(F.col("event_type").alias("missing_type"))
+
+    q["rel_set_except"] = _except
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# document / training-data queries
+# ---------------------------------------------------------------------------
+
+
+def _aug_docs(s: SparkSession, d: str) -> DataFrame:
+    """documents + exact duplicates (+100000) + near duplicates (+200000,
+    ' zzextra seventeen' appended to every doc_id % 5 == 0)."""
+    docs = _read(s, d, "documents").select("doc_id", "text")
+    exact = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra seventeen")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+SQL_AUG_DOCS = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzextra seventeen' FROM documents WHERE doc_id % 5 = 0
+)"""
+
+SQL_DOC_WORDS = """
+words AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     w -> w <> '') AS w
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3 THEN
+             list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE [] END
+         ) AS shingles
+  FROM words
+),
+shf AS (SELECT * FROM sh WHERE len(shingles) > 0)"""
+
+
+def _doc_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kgpipe_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+    )
+    from kgpipe_spark.operators.text import (
+        fingerprint,
+        language_id,
+        quality_features,
+        token_count,
+    )
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _exact(s, d):
+        dup = exact_duplicates(_aug_docs(s, d))
+        return dup.select(
+            "content_hash",
+            "n_copies",
+            "keep_id",
+            F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("doc_ids"),
+        )
+
+    q["doc_dedup_exact"] = _exact
+
+    q["doc_minhash_lsh_pairs"] = lambda s, d: minhash_lsh_pairs(
+        _aug_docs(s, d), num_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+
+    q["doc_ngram_jaccard_pairs"] = lambda s, d: ngram_jaccard_pairs(
+        _aug_docs(s, d), threshold=0.5
+    )
+
+    q["doc_token_count"] = lambda s, d: token_count(_read(s, d, "documents"))
+    q["doc_quality_features"] = lambda s, d: quality_features(_read(s, d, "documents"))
+    q["doc_language_id"] = lambda s, d: language_id(_read(s, d, "documents"))
+    q["doc_fingerprint"] = lambda s, d: fingerprint(_read(s, d, "documents"))
+
+    # simhash is Spark-side verified in pytest; rows-only here (bit_count +
+    # conv() have no cheap DuckDB twins)
+    q["doc_simhash"] = lambda s, d: simhash_fingerprints(_read(s, d, "documents"))
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity queries
+# ---------------------------------------------------------------------------
+
+
+def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kgpipe_spark.operators.dedup import embedding_near_duplicates
+    from kgpipe_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _topk(s, d):
+        emb = _read(s, d, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return cosine_topk_bruteforce(emb, queries_df, k=10)
+
+    q["emb_cosine_topk"] = _topk
+
+    def _near(s, d):
+        emb = _read(s, d, "embeddings")
+        return embedding_near_duplicates(emb, threshold=0.3, bucket_col="label")
+
+    q["emb_bucketed_near_dup"] = _near
+
+    def _ivf(s, d):
+        emb = _read(s, d, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=8)
+
+    q["emb_ivf_topk_fullprobe"] = _ivf
+
     return q
 
 
@@ -843,6 +1113,290 @@ def oracle_sql() -> dict[str, str]:
         FROM customer
         GROUP BY (c_custkey % 700)
         HAVING count(DISTINCT c_custkey) > 1
+    """
+
+    sql.update(_relational_sql())
+    sql.update(_doc_sql())
+    sql.update(_emb_sql())
+    return sql
+
+
+def _relational_sql() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["rel_q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
+               sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS sum_disc_price,
+               sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["rel_q3_top10"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["rel_join_enrich"] = """
+        SELECT r_name AS region_name, count(*) AS n_customers,
+               sum(CAST(c_acctbal AS DECIMAL(20,4))) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["rel_customers_without_orders"] = """
+        SELECT c_mktsegment AS mktsegment, count(*) AS n_customers
+        FROM customer
+        ANTI JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """
+
+    sql["rel_window_top_orders"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders
+        ) WHERE rank <= 3
+    """
+
+    sql["rel_events_sessionize"] = """
+        WITH w AS (
+          SELECT user_id,
+                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+               count(*) AS n_events
+        FROM w GROUP BY user_id
+    """
+
+    sql["rel_events_json_extract"] = """
+        SELECT event_type, count(*) AS n,
+               round(CAST(sum(CAST(props->>'k' AS INTEGER)) AS DOUBLE)
+                     / count(CAST(props->>'k' AS INTEGER)), 6) AS avg_k
+        FROM events GROUP BY event_type
+    """
+
+    sql["rel_set_except"] = """
+        SELECT event_type AS missing_type FROM (
+          SELECT DISTINCT event_type FROM events WHERE user_id % 10 = 3
+          EXCEPT
+          SELECT DISTINCT event_type FROM events WHERE user_id % 10 = 3 AND value > 50
+        )
+    """
+
+    return sql
+
+
+def _doc_sql() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["doc_dedup_exact"] = f"""
+        WITH {SQL_AUG_DOCS},
+        h AS (
+          SELECT doc_id,
+                 md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+          FROM docs
+        )
+        SELECT content_hash, count(*) AS n_copies, min(doc_id) AS keep_id,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+        FROM h GROUP BY content_hash HAVING count(*) > 1
+    """
+
+    sql["doc_minhash_lsh_pairs"] = f"""
+        WITH {SQL_AUG_DOCS},
+        {SQL_DOC_WORDS},
+        exploded AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+        mh AS (
+          SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+          FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+          GROUP BY doc_id, i
+        ),
+        sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) gb
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (b, bucket)
+          WHERE a.doc_id < b.doc_id
+        ),
+        j AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+          FROM cand c
+          JOIN shf sa ON sa.doc_id = c.id_a
+          JOIN shf sb ON sb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+    """
+
+    sql["doc_ngram_jaccard_pairs"] = f"""
+        WITH {SQL_AUG_DOCS},
+        {SQL_DOC_WORDS},
+        pairs_sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shf),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM pairs_sh GROUP BY doc_id),
+        block_ok AS (SELECT shingle FROM pairs_sh GROUP BY shingle HAVING count(*) <= 2000),
+        sh_f AS (SELECT p.* FROM pairs_sh p SEMI JOIN block_ok b USING (shingle)),
+        pairs AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+          FROM sh_f x JOIN sh_f y USING (shingle)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        j AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(p.common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.common) AS jac
+          FROM pairs p
+          JOIN sizes sa ON sa.doc_id = p.id_a
+          JOIN sizes sb ON sb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+    """
+
+    sql["doc_token_count"] = """
+        WITH words AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                             w -> w <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_ws_tokens,
+               CAST(coalesce(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subword_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM words
+    """
+
+    _stops_en = "'the','and','of','to','in','is','that','it','was','for'"
+    sql["doc_quality_features"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                             w -> w <> '') AS w,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN len(w) > 0
+                      THEN CAST(len(list_filter(w, x -> x IN ({_stops_en}))) AS DOUBLE) / len(w)
+                      ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN len(w) > 0
+                      THEN coalesce(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), 0.0) / len(w)
+                      ELSE 0.0 END AS mean_wl
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(stopword_ratio, 6) AS stopword_ratio,
+               round(mean_wl, 6) AS mean_word_len,
+               round(least(n_words / 20.0, 1.0)
+                     * (1.0 - least(punct_ratio * 2, 1.0))
+                     * (0.5 + least(stopword_ratio * 2, 0.5)), 6) AS quality
+        FROM feats
+    """
+
+    _stop_lists = {
+        "de": "'der','die','das','und','ist','nicht','ein','mit','von','zu'",
+        "en": "'the','and','of','to','in','is','that','it','was','for'",
+        "es": "'el','la','los','y','es','que','en','por','una','del'",
+        "fr": "'le','la','les','et','est','dans','que','pour','une','des'",
+    }
+    hit_selects = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_filter(w, x -> x IN ({stops}))) AS hits FROM words"
+        for lang, stops in _stop_lists.items()
+    )
+    sql["doc_language_id"] = f"""
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                             w -> w <> '') AS w
+          FROM documents
+        ),
+        hits AS ({hit_selects}),
+        best AS (
+          SELECT doc_id, lang, hits,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+          FROM hits
+        )
+        SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
+        FROM best WHERE rn = 1
+    """
+
+    sql["doc_fingerprint"] = """
+        WITH words AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+                 list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                             w -> w <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id, md5(norm) AS content_fp,
+               md5(array_to_string(list_sort(list_distinct(w)), chr(1))) AS shingle_fp
+        FROM words
+    """
+
+    return sql
+
+
+def _emb_sql() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    _cos = """
+      list_dot_product(e.v, q.v) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)))
+    """
+
+    sql["emb_cosine_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, e.vec_id, {_cos} AS cosine
+          FROM e CROSS JOIN q
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+    # full-probe IVF == exact top-k (nprobe = n_centroids ⇒ every cell searched)
+    sql["emb_ivf_topk_fullprobe"] = sql["emb_cosine_topk"]
+
+    sql["emb_bucketed_near_dup"] = """
+        WITH e AS (SELECT vec_id, label AS bucket, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
     """
 
     return sql

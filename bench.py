@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the flagship KG-construction pipeline (extract → link →
+canonicalize → fuse → complete) over a corpus derived from the sf tables;
+plus representative operator queries. Also reports triples/sec for the
+flagship (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+    from kgpipe_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="kgpipe-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+
+    queries = E.queries()
+    bench_set = [
+        "kg_flagship_pipeline",
+        "kg_extract_triples",
+        "kg_connected_components",
+        "kg_fuse_first_value",
+        "kg_canonicalize_triples",
+        "kg_fact_alignment",
+        "rel_q1_pricing_summary",
+        "rel_q3_top10",
+        "rel_window_top_orders",
+        "rel_events_sessionize",
+        "doc_minhash_lsh_pairs",
+        "doc_quality_features",
+        "emb_cosine_topk",
+    ]
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in bench_set:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "kg_flagship_pipeline":
+            extra["flagship_triples"] = n
+            extra["flagship_triples_per_sec"] = round(n / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kg_construct_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
