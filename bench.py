@@ -33,6 +33,10 @@ def main() -> None:
         shuffle_partitions=max(int(cpus), 8),
     )
 
+    # warmup: JVM + parquet reader + python worker pool (excluded from timings)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     queries = E.queries()
     bench_set = [
         "kg_flagship_pipeline",

@@ -79,19 +79,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<STRING>) — sig[i] = min over shingles of
     md5(i:shingle). Permutation-free MinHash; md5 keeps it deterministic and
-    engine-portable."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"), lambda s: F.md5(F.concat_ws(":", i.cast("string"), s))
-            )
-        ),
+    engine-portable.
+
+    The input is repartitioned first: higher-order lambda expressions are
+    interpreted (not codegen'd), so this projection is CPU-bound — a narrow
+    parquet scan would otherwise pin it to 1-3 cores.
+    """
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = (
+        docs.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
     )
-    return sh.select("doc_id", F.col("shingles"), sig.alias("sig"))
+    # explode → md5 → groupBy min: stays in whole-stage codegen with map-side
+    # partial aggregation (the lambda/higher-order formulation is interpreted
+    # and an order of magnitude slower)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = exploded.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
+        F.col("s"),
+    ).select("doc_id", "i", F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("s"))).alias("h"))
+    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("h"))
+    sigs = (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "h"))).alias("ih"))
+        .select("doc_id", F.transform("ih", lambda x: x["h"]).alias("sig"))
+    )
+    return sh.join(sigs, "doc_id").select("doc_id", "shingles", "sig")
 
 
 def minhash_lsh_pairs(
@@ -109,10 +127,14 @@ def minhash_lsh_pairs(
     shingle Jaccard (array_intersect/union) and filters ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n).localCheckpoint(
+        eager=False
+    )
+    # band on (band, bucket) WITHOUT the shingle arrays — shuffling the big
+    # arrays through the 8-way band explode is the scale killer; shingles are
+    # joined back only for the (few) surviving candidate pairs.
     banded = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -124,19 +146,20 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
-    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .dropDuplicates()
     )
+    sh = sigs.select("doc_id", "shingles")
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -160,8 +183,10 @@ def ngram_jaccard_pairs(
     blowup), counts shared shingles per pair, then Jaccard from per-doc
     shingle counts — no arrays are carried through the shuffle.
     """
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     sh = (
-        docs.select(
+        docs.repartition(n_part, F.col(id_col))
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
