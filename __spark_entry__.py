@@ -520,6 +520,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_duplicate_entities"] = _dupes
 
+    # --- semantic validators --------------------------------------------------
+    def _domain_viol(s, d):
+        from kgpipe_spark.eval.semantic import domain_violations
+
+        base = _base_triples(s, d).withColumn(
+            "object_lex",
+            F.when(
+                (F.col("predicate") == RDF_TYPE)
+                & F.col("subject").startswith(CUST)
+                & (F.regexp_extract("subject", r"(\d+)$", 1).cast("bigint") % 9 == 0),
+                F.lit(O + "Supplier"),
+            ).otherwise(F.col("object_lex")),
+        )
+        return domain_violations(base, _ontology(s))
+
+    q["kg_domain_violations"] = _domain_viol
+
+    def _datatype_viol(s, d):
+        from kgpipe_spark.eval.semantic import datatype_violations
+
+        base = _base_triples(s, d).withColumn(
+            "object_datatype",
+            F.when(
+                (F.col("predicate") == P + "acctbal")
+                & (F.regexp_extract("subject", r"(\d+)$", 1).cast("bigint") % 11 == 0),
+                F.lit(XSD_STRING),
+            ).otherwise(F.col("object_datatype")),
+        )
+        return datatype_violations(base, _ontology(s))
+
+    q["kg_datatype_violations"] = _datatype_viol
+
+    def _objprop_viol(s, d):
+        from kgpipe_spark.eval.semantic import object_prop_violations
+
+        base = _base_triples(s, d).withColumn(
+            "object_kind",
+            F.when(
+                (F.col("predicate") == P + "nation")
+                & (F.regexp_extract("subject", r"(\d+)$", 1).cast("bigint") % 13 == 0),
+                F.lit("literal"),
+            ).otherwise(F.col("object_kind")),
+        )
+        return object_prop_violations(base, _ontology(s))
+
+    q["kg_object_prop_violations"] = _objprop_viol
+
+    def _disjoint_viol(s, d):
+        from kgpipe_spark.eval.semantic import disjoint_class_violations
+
+        extra_types = _read(s, d, "customer").filter(F.col("c_custkey") % 17 == 0).select(
+            F.concat(F.lit(CUST), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(O + "Supplier").alias("object_lex"),
+            F.lit("uri").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_datatype"),
+        )
+        base = _base_triples(s, d).unionByName(extra_types)
+        disjoint = s.createDataFrame([(O + "Customer", O + "Supplier")], ["cls_a", "cls_b"])
+        return disjoint_class_violations(base, disjoint)
+
+    q["kg_disjoint_class_violations"] = _disjoint_viol
+
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
@@ -1113,6 +1176,84 @@ def oracle_sql() -> dict[str, str]:
         FROM customer
         GROUP BY (c_custkey % 700)
         HAVING count(DISTINCT c_custkey) > 1
+    """
+
+    sql["kg_domain_violations"] = f"""
+        WITH {SQL_TRIPLES},
+        mutated AS (
+          SELECT subject, predicate,
+                 CASE WHEN predicate = '{_RT}' AND subject LIKE 'http://kg.org/cust/%'
+                           AND CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 9 = 0
+                      THEN 'http://kg.org/onto/Supplier' ELSE object_lex END AS object_lex,
+                 object_kind, object_datatype
+          FROM triples
+        ),
+        dom AS (
+          SELECT 'http://kg.org/prop/nation' AS uri, 'http://kg.org/onto/Customer' AS dmn
+          UNION ALL SELECT 'http://kg.org/prop/region', 'http://kg.org/onto/Nation'
+          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer'
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer'
+        ),
+        typed AS (SELECT subject, object_lex AS cls FROM mutated WHERE predicate = '{_RT}')
+        SELECT DISTINCT t.subject, t.predicate, ty.cls AS actual_type, d.dmn AS domain
+        FROM mutated t JOIN dom d ON t.predicate = d.uri
+        JOIN typed ty ON ty.subject = t.subject
+        WHERE ty.cls <> d.dmn
+    """
+
+    sql["kg_datatype_violations"] = f"""
+        WITH {SQL_TRIPLES},
+        mutated AS (
+          SELECT subject, predicate, object_lex, object_kind,
+                 CASE WHEN predicate = 'http://kg.org/prop/acctbal'
+                           AND CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 11 = 0
+                      THEN '{_XS}' ELSE object_datatype END AS object_datatype
+          FROM triples
+        ),
+        rng AS (
+          SELECT 'http://kg.org/prop/acctbal' AS uri, '{_XD}' AS expected_dt
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', '{_XS}'
+        )
+        SELECT t.subject, t.predicate, t.object_lex, t.object_datatype, r.expected_dt
+        FROM mutated t JOIN rng r ON t.predicate = r.uri
+        WHERE t.object_kind = 'literal' AND coalesce(t.object_datatype, '') <> r.expected_dt
+    """
+
+    sql["kg_object_prop_violations"] = f"""
+        WITH {SQL_TRIPLES},
+        mutated AS (
+          SELECT subject, predicate, object_lex,
+                 CASE WHEN predicate = 'http://kg.org/prop/nation'
+                           AND CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 13 = 0
+                      THEN 'literal' ELSE object_kind END AS object_kind,
+                 object_datatype
+          FROM triples
+        ),
+        kinds AS (
+          SELECT 'http://kg.org/prop/nation' AS uri, 'true' AS is_object_prop
+          UNION ALL SELECT 'http://kg.org/prop/region', 'true'
+          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'false'
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'false'
+        )
+        SELECT t.subject, t.predicate, t.object_lex, t.object_kind, k.is_object_prop
+        FROM mutated t JOIN kinds k ON t.predicate = k.uri
+        WHERE (k.is_object_prop = 'true' AND t.object_kind = 'literal')
+           OR (k.is_object_prop = 'false' AND t.object_kind = 'uri')
+    """
+
+    sql["kg_disjoint_class_violations"] = f"""
+        WITH {SQL_TRIPLES},
+        extra AS (
+          SELECT 'http://kg.org/cust/' || c_custkey AS subject, '{_RT}' AS predicate,
+                 'http://kg.org/onto/Supplier' AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype
+          FROM customer WHERE c_custkey % 17 = 0
+        ),
+        allt AS (SELECT * FROM triples UNION ALL SELECT * FROM extra),
+        typed AS (SELECT subject AS e, object_lex AS cls FROM allt WHERE predicate = '{_RT}')
+        SELECT DISTINCT a.e AS subject, a.cls AS cls_a, b.cls AS cls_b
+        FROM typed a JOIN typed b ON a.e = b.e
+        WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
     """
 
     sql.update(_relational_sql())

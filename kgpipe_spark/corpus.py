@@ -56,6 +56,31 @@ def synth_corpus(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
     film_id = F.col("id")
 
     director_name = F.concat(F.lit("Director "), director_id)
+    # realistic blob sizes (KB-scale, like real repo files): a cast array of
+    # 16 nested dicts, a reviews array, a crew dict — extraction work per
+    # blob dominates over per-row framework overhead, as it does at 100 TB
+    cast = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.struct(
+            F.concat(F.lit("Actor "), F.pmod(F.col("rid") * 17 + i, F.lit(N_ACTORS))).alias("name"),
+            F.concat(F.lit("Role "), F.pmod(F.col("rid") + i * 7, F.lit(500))).alias("role"),
+            (F.lit(18) + F.pmod(F.col("rid") * 3 + i, F.lit(60))).alias("age"),
+        ),
+    )
+    reviews = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.struct(
+            F.concat(F.lit("critic-"), F.pmod(F.col("rid") + i * 13, F.lit(300))).alias("reviewerName"),
+            (F.pmod(F.col("rid") * 7 + i, F.lit(10)) + 1).alias("rating"),
+            F.concat(
+                F.lit("A thorough review number "),
+                i,
+                F.lit(" praising the direction of "),
+                director_name,
+                F.lit(" and the ensemble cast in equal measure."),
+            ).alias("body"),
+        ),
+    )
     json_doc = F.to_json(
         F.struct(
             F.concat(F.lit("Film "), film_id).alias("film_title"),
@@ -66,6 +91,8 @@ def synth_corpus(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
             F.array(
                 F.concat(F.lit("Actor "), actor_a), F.concat(F.lit("Actor "), actor_b)
             ).alias("starring"),
+            cast.alias("cast"),
+            reviews.alias("reviews"),
             (F.lit(80) + F.pmod(F.col("rid"), F.lit(100))).alias("runtime"),
             F.concat(
                 F.lit("19"), F.lpad(F.pmod(F.col("rid"), F.lit(99)), 2, "0"), F.lit("-01-15")
@@ -73,18 +100,49 @@ def synth_corpus(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
         )
     )
 
+    py_funcs = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda i: F.concat(
+                F.lit("    def handler_"),
+                i,
+                F.lit("(self, ctx):\n        value = ctx.lookup("),
+                F.pmod(F.col("rid") + i, F.lit(9973)),
+                F.lit(")\n        return value * "),
+                (i + 1),
+            ),
+        ),
+    )
     py_doc = F.concat(
         F.lit("import json\nimport films.registry_"),
         F.pmod(F.col("rid"), F.lit(20)),
+        F.lit("\nimport films.codec_"),
+        F.pmod(F.col("rid") * 3, F.lit(12)),
         F.lit("\n\nclass Film"),
         film_id,
         F.lit(":\n    def get_director(self):\n        return '"),
         director_name,
         F.lit("'\n\n    def get_runtime(self):\n        return "),
         (F.lit(80) + F.pmod(F.col("rid"), F.lit(100))),
+        F.lit("\n\n"),
+        py_funcs,
         F.lit("\n"),
     )
 
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.concat(
+                F.lit("Scene "),
+                i,
+                F.lit(" features an extended sequence praised by critic-"),
+                F.pmod(F.col("rid") + i * 13, F.lit(300)),
+                F.lit(" for its pacing and photography."),
+            ),
+        ),
+    )
     text_doc = F.concat(
         F.lit("Film "),
         film_id,
@@ -94,7 +152,8 @@ def synth_corpus(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
         actor_a,
         F.lit(" and Actor "),
         actor_b,
-        F.lit("."),
+        F.lit(". "),
+        filler,
     )
 
     content = (

@@ -54,9 +54,12 @@ def connected_components(
     this in memory, cluster.py:41-93), distributed pointer-jumping beyond
     ``driver_threshold`` edges. Both produce min-id representatives; tests
     assert they agree."""
-    if strategy == "driver" or (
-        strategy == "auto" and edges.limit(driver_threshold + 1).count() <= driver_threshold
-    ):
+    if strategy == "auto":
+        # materialize once, fully parallel — a limit().count() probe would
+        # run CollectLimit's incremental (partially serial) scan through the
+        # whole unmaterialized upstream
+        edges = edges.localCheckpoint(eager=True)
+    if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_threshold):
         rows = edges.select("src", "dst").collect()
         parent: dict = {}
 

@@ -45,10 +45,18 @@ def canonicalize_triples(
     """Rewrite subject and URI objects (and optionally predicates) to cluster
     representatives. ``canon`` = (entity, canonical).
 
-    The map can be large (one row per aliased entity) so it is NOT force-
-    broadcast; AQE picks broadcast vs shuffle join from runtime stats.
+    The map is usually tiny relative to the triples (one row per *aliased*
+    entity), and the triples side is huge — so a shuffle join would move the
+    whole KG three times. We probe the map's size with one cheap count and
+    broadcast it when it fits, keeping all three rewrites map-side; beyond
+    the threshold AQE decides.
     """
     c = canon
+    try:
+        if canon.count() <= 2_000_000:
+            c = F.broadcast(canon)
+    except Exception:
+        pass
 
     out = (
         triples.join(c.withColumnRenamed("entity", "subject"), "subject", "left")
@@ -122,11 +130,33 @@ def fuse_first_value(
 
     seed_sp = seed_t.select("subject", "predicate").distinct()
     new_fusable = src_fusable.join(seed_sp, ["subject", "predicate"], "left_anti")
-    w = Window.partitionBy("subject", "predicate").orderBy(
-        stable_order_key(F.col("object_lex"), F.col("object_kind"), F.col("object_datatype"))
+    # "first" value per (s,p) = min stable-hash — expressed as min(struct)
+    # aggregation rather than a window so Spark does MAP-SIDE partial
+    # aggregation: the shuffle carries one candidate per (s,p,partition)
+    # instead of every source triple (same result as row_number()==1 ordered
+    # by the hash; struct comparison is field-lexicographic, key first)
+    key = stable_order_key(
+        F.col("object_lex"), F.col("object_kind"), F.col("object_datatype")
     )
     first_vals = (
-        new_fusable.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        new_fusable.groupBy("subject", "predicate")
+        .agg(
+            F.min(
+                F.struct(
+                    key.alias("k"),
+                    F.col("object_lex"),
+                    F.col("object_kind"),
+                    F.col("object_datatype"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "subject",
+            "predicate",
+            F.col("m.object_lex").alias("object_lex"),
+            F.col("m.object_kind").alias("object_kind"),
+            F.col("m.object_datatype").alias("object_datatype"),
+        )
     )
 
     new_rest = src_rest.join(

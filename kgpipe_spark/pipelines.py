@@ -44,7 +44,9 @@ def text_surface_to_triples(surfaces: DataFrame, dictionary: DataFrame) -> DataF
     mentions = subj_m.union(obj_m).distinct().withColumn("kind", F.lit("entity")).withColumn(
         "doc_uri", F.lit(None).cast("string")
     )
-    linked = link_or_mint(link_exact(mentions, dictionary))
+    # checkpoint: lk is consumed three times (subject join, object join,
+    # minted-label emission) — without this the distinct+link recomputes 3×
+    linked = link_or_mint(link_exact(mentions, dictionary)).persist()
     lk = linked.select("query_text", "resolved_uri")
 
     with_subj = surfaces.join(
@@ -127,13 +129,13 @@ def run_flagship(
     t_text = text_surface_to_triples(extract_text_surface_triples(corpus), dictionary)
     extracted = t_json.unionByName(t_code).unionByName(t_text)
     # stage boundary: extraction feeds three downstream consumers (linking,
-    # CC edge building, canonicalize rewrite joins) — materialize once so the
-    # pandas-UDF extraction isn't recomputed per consumer and the plan stays
-    # shallow (on a cluster this is the per-stage Iceberg snapshot).
-    extracted = remove_empty_literals(extracted).localCheckpoint(eager=False)
+    # CC edge building, canonicalize rewrite joins) — cache once (compressed
+    # columnar) so the pandas-UDF extraction isn't recomputed per consumer
+    # (on a cluster this is the per-stage Iceberg snapshot).
+    extracted = remove_empty_literals(extracted).persist()
 
     # entity linking: rewrite extracted entities onto seed URIs by label
-    linked = link_entities(extracted, dictionary).localCheckpoint(eager=False)
+    linked = link_entities(extracted, dictionary).persist()
 
     # canonicalization: same-label minted entities → connected components
     label_pairs = (
@@ -149,7 +151,7 @@ def run_flagship(
     )
     components = connected_components(dup_edges)
     canon = canonical_map(components, prefer_namespace=KG_NS + "person/")
-    canonical = canonicalize_triples(linked, canon).localCheckpoint(eager=False)
+    canonical = canonicalize_triples(linked, canon)
 
     # ontology for type completion: code predicates + movie props
     ontology = spark.createDataFrame(

