@@ -98,15 +98,36 @@ def link_entities(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Entity-link extracted entities by their labels; rewrite subjects and
     URI objects to the linked URI. Decomposed linking (SURVEY.md §2.4):
     mentions → exact broadcast dict join → link-or-keep → rewrite joins."""
+    return canonicalize_triples(triples, link_map(triples, dictionary))
+
+
+def link_map(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """(entity, canonical) rewrite map from exact-label linking (no rewrite)."""
     mentions = mentions_from_triples(triples)
     linked = link_exact(mentions, dictionary)
-    accepted = (
+    return (
         linked.filter(F.col("mapping").isNotNull())
         .select(F.col("doc_uri").alias("entity"), F.col("mapping").alias("canonical"))
         .filter(F.col("entity") != F.col("canonical"))
         .dropDuplicates(["entity"])
     )
-    return canonicalize_triples(triples, accepted)
+
+
+def compose_maps(first: DataFrame, second: DataFrame) -> DataFrame:
+    """Compose two rewrite maps: result(x) = second(first(x) or x) or first(x).
+
+    Both maps are alias-sized (small); the composition is two small joins so
+    the expensive full-KG rewrite happens exactly once downstream.
+    """
+    f = first.select("entity", F.col("canonical").alias("c1"))
+    s = second.select(F.col("entity").alias("c1"), F.col("canonical").alias("c2"))
+    via = f.join(s, "c1", "left").select(
+        "entity", F.coalesce(F.col("c2"), F.col("c1")).alias("canonical")
+    )
+    rest = second.join(first.select("entity"), "entity", "left_anti").select(
+        "entity", "canonical"
+    )
+    return via.unionByName(rest).filter(F.col("entity") != F.col("canonical"))
 
 
 def run_flagship(
@@ -132,14 +153,30 @@ def run_flagship(
     # CC edge building, canonicalize rewrite joins) — cache once (compressed
     # columnar) so the pandas-UDF extraction isn't recomputed per consumer
     # (on a cluster this is the per-stage Iceberg snapshot).
-    extracted = remove_empty_literals(extracted).persist()
+    # early set-semantics dedupe: rdflib graphs dedupe on add (the reference's
+    # implicit behavior) and repeated nested entities (same md5 URI across
+    # blobs) collapse 3×+ here — every downstream shuffle gets that much
+    # lighter; dropDuplicates does map-side partial dedupe before the shuffle
+    extracted = (
+        remove_empty_literals(extracted)
+        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+        .persist()
+    )
 
-    # entity linking: rewrite extracted entities onto seed URIs by label
-    linked = link_entities(extracted, dictionary).persist()
+    # entity linking: map extracted entities onto seed URIs by label — the
+    # map only (the expensive full-KG rewrite is deferred and fused with the
+    # CC rewrite below into a single pass)
+    # alias-sized map: eagerly materialized (several consumers — the label
+    # rewrite, the composition, and each one's broadcast-size probe)
+    lmap = link_map(extracted, dictionary).localCheckpoint(eager=True)
 
-    # canonicalization: same-label minted entities → connected components
+    # canonicalization: same-label entities (post-linking) → connected
+    # components, computed on the label rows only (a small projection of the
+    # KG), never on the full triple set
     label_pairs = (
-        linked.filter(F.col("predicate") == RDFS_LABEL)
+        canonicalize_triples(
+            extracted.filter(F.col("predicate") == RDFS_LABEL), lmap
+        )
         .select("subject", normalize_label(F.col("object_lex")).alias("norm"))
         .distinct()
     )
@@ -151,7 +188,10 @@ def run_flagship(
     )
     components = connected_components(dup_edges)
     canon = canonical_map(components, prefer_namespace=KG_NS + "person/")
-    canonical = canonicalize_triples(linked, canon)
+
+    # ONE rewrite pass over the full KG with the composed link∘CC map
+    composed = compose_maps(lmap, canon).localCheckpoint(eager=True)
+    canonical = canonicalize_triples(extracted, composed)
 
     # ontology for type completion: code predicates + movie props
     ontology = spark.createDataFrame(
