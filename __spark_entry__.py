@@ -609,24 +609,30 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # double→decimal cast rounding modes differ across engines (HALF_UP
         # vs HALF_EVEN) but floor(x*10000) is pure IEEE double → identical
         quant = lambda c: (F.floor(c * 10000).cast("decimal(30,0)") / 10000).cast("decimal(20,4)")
+        # money sums are emitted as DOUBLE computed via integer-scaled
+        # division (exact decimal sum * 1e4 → BIGINT → / 10000.0): both
+        # engines then perform the same correctly-rounded IEEE division, so
+        # the result bits are identical regardless of each engine's
+        # decimal→double conversion path (driver hash gate is bit-exact).
+        dbl = lambda c: (c * 10000).cast("long") / F.lit(10000.0)
         g = li.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            F.sum(dec(F.col("l_quantity"))).alias("_sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("_sum_base_price"),
+            F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_sum_disc_price"),
             F.sum(
                 quant(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
-            ).alias("sum_charge"),
+            ).alias("_sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         return g.select(
             "l_returnflag",
             "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
-            "sum_disc_price",
-            "sum_charge",
-            F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
-            F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+            dbl(F.col("_sum_qty")).alias("sum_qty"),
+            dbl(F.col("_sum_base_price")).alias("sum_base_price"),
+            dbl(F.col("_sum_disc_price")).alias("sum_disc_price"),
+            dbl(F.col("_sum_charge")).alias("sum_charge"),
+            F.round(dbl(F.col("_sum_qty")) / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(dbl(F.col("_sum_base_price")) / F.col("count_order"), 6).alias("avg_price"),
             "count_order",
         )
 
@@ -642,7 +648,9 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+            .agg(F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_revenue"))
+            .withColumn("revenue", (F.col("_revenue") * 10000).cast("long") / F.lit(10000.0))
+            .drop("_revenue")
         )
         return j.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
 
@@ -659,8 +667,10 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             .groupBy(F.col("r_name").alias("region_name"))
             .agg(
                 F.count(F.lit(1)).alias("n_customers"),
-                F.sum(dec(F.col("c_acctbal"))).alias("total_acctbal"),
+                F.sum(dec(F.col("c_acctbal"))).alias("_total_acctbal"),
             )
+            .withColumn("total_acctbal", (F.col("_total_acctbal") * 10000).cast("long") / F.lit(10000.0))
+            .drop("_total_acctbal")
         )
 
     q["rel_join_enrich"] = _enrich
@@ -1021,7 +1031,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
             SELECT *, row_number() OVER (
               PARTITION BY subject, predicate
-              ORDER BY sha256(coalesce(object_lex, chr(0)) || coalesce(object_kind, chr(0)) || coalesce(object_datatype, chr(0)))
+              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
             ) AS rn FROM new_fusable
           ) WHERE rn = 1
         ),
@@ -1055,7 +1065,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             PARTITION BY subject, predicate
             ORDER BY n DESC, avg_score DESC,
-                     sha256(coalesce(object_lex, chr(0)) || coalesce(object_kind, chr(0)))
+                     sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)))
           ) AS rn FROM grouped
         ) WHERE rn = 1
     """
@@ -1266,36 +1276,50 @@ def _relational_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["rel_q1_pricing_summary"] = """
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(l_quantity AS DECIMAL(20,4))) AS _sum_qty,
+                 sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS _sum_base_price,
+                 sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS _sum_disc_price,
+                 sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS _sum_charge,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
-               sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS sum_disc_price,
-               sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS sum_charge,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / count(*), 6) AS avg_price,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(_sum_qty * 10000 AS BIGINT) / 10000.0 AS sum_qty,
+               CAST(_sum_base_price * 10000 AS BIGINT) / 10000.0 AS sum_base_price,
+               CAST(_sum_disc_price * 10000 AS BIGINT) / 10000.0 AS sum_disc_price,
+               CAST(_sum_charge * 10000 AS BIGINT) / 10000.0 AS sum_charge,
+               round((CAST(_sum_qty * 10000 AS BIGINT) / 10000.0) / count_order, 6) AS avg_qty,
+               round((CAST(_sum_base_price * 10000 AS BIGINT) / 10000.0) / count_order, 6) AS avg_price,
+               count_order
+        FROM g
     """
 
     sql["rel_q3_top10"] = """
+        WITH g AS (
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS _revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+               CAST(_revenue * 10000 AS BIGINT) / 10000.0 AS revenue
+        FROM g
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """
 
     sql["rel_join_enrich"] = """
         SELECT r_name AS region_name, count(*) AS n_customers,
-               sum(CAST(c_acctbal AS DECIMAL(20,4))) AS total_acctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) * 10000 AS BIGINT) / 10000.0 AS total_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -1318,13 +1342,16 @@ def _relational_sql() -> dict[str, str]:
     """
 
     sql["rel_events_sessionize"] = """
-        WITH w AS (
+        WITH e AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+        ),
+        w AS (
           SELECT user_id,
-                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
-          FROM events
+                 tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap
+          FROM e
         )
         SELECT user_id,
-               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM w GROUP BY user_id
     """

@@ -204,6 +204,12 @@ def aggregate_matches(m1: DataFrame, m2: DataFrame) -> DataFrame:
     """Union two ER match sets, rewriting id_type 'str'→'relation'
     (`fusion/simple.py:10-37` aggregate_2matches)."""
     u = m1.unionByName(m2)
-    return u.withColumn(
+    rewritten = u.withColumn(
         "id_type", F.regexp_replace(F.col("id_type"), r"^str$", "relation")
-    ).dropDuplicates(["id_1", "id_2", "id_type"])
+    )
+    # deterministic dedup: min(score) per pair (dropDuplicates keeps an
+    # arbitrary row when the same pair arrives with different scores)
+    other = [c for c in rewritten.columns if c not in ("id_1", "id_2", "id_type", "score")]
+    aggs = [F.min("score").alias("score")] + [F.min(c).alias(c) for c in other]
+    out = rewritten.groupBy("id_1", "id_2", "id_type").agg(*aggs)
+    return out.select(*rewritten.columns)

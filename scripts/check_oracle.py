@@ -28,17 +28,45 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    # STRICT: no cross-type coercion. The driver's hash gate is bit-exact on
+    # raw cell values, so a Spark Decimal vs a DuckDB float (or int vs float)
+    # must FAIL here too — queries must canonicalize output types themselves.
+    # (Round-1 driver evidence: DuckDB results are pandas-coerced — DECIMAL
+    # and HUGEINT become float64 — while Spark Decimals stay Decimal, so any
+    # Spark-side DecimalType output is an automatic hash mismatch.)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        return "dec:" + str(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def _from_pandas(v):
+    """Undo pandas scalar wrappers so norm_cell sees plain Python types."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return [_from_pandas(x) for x in v.tolist()]
+    if isinstance(v, list):
+        return [_from_pandas(x) for x in v]
+    return v
 
 
 def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
@@ -85,7 +113,10 @@ def main():
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via pandas like the driver does: DECIMAL → float64,
+            # HUGEINT → float64, TIMESTAMP → pd.Timestamp
+            ddf = res.df()
+            drows = [tuple(_from_pandas(v) for v in row) for row in ddf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
