@@ -586,9 +586,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
+    q.update(_soft_queries())
     q.update(_relational_queries())
     q.update(_doc_queries())
     q.update(_emb_queries())
+    return q
+
+
+# ---------------------------------------------------------------------------
+# soft (embedding) evaluation queries (SURVEY.md §2.9, soft_metrics.py +
+# integration_eval.py families) — engine-symmetric hashed-gram cosine
+# ---------------------------------------------------------------------------
+
+DUP = KG_NS + "dup/"
+
+
+def _soft_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'actual KG' for soft metrics: k%4==0 customers kept
+    as-is, k%4==1 re-minted under dup/ with a '(alt)' label (cleans back to
+    the original → soft-mappable), k%4==2 re-minted with a reversed label
+    (unmappable). Nations/regions unchanged."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    k = F.col("c_custkey")
+
+    def cust_block(df, subj, label_expr):
+        s = subj.alias("subject")
+        lit = F.lit("literal").alias("object_kind")
+        xs = F.lit(XSD_STRING).alias("object_datatype")
+        t = df.select(s, F.lit(RDF_TYPE).alias("predicate"), F.lit(O + "Customer").alias("object_lex"),
+                      F.lit("uri").alias("object_kind"), F.lit(None).cast("string").alias("object_datatype"))
+        lab = df.select(s, F.lit(RDFS_LABEL).alias("predicate"), label_expr.alias("object_lex"), lit, xs)
+        seg = df.select(s, F.lit(P + "mktsegment").alias("predicate"), F.col("c_mktsegment").alias("object_lex"), lit, xs)
+        nat = df.select(s, F.lit(P + "nation").alias("predicate"),
+                        F.concat(F.lit(NAT), F.col("c_nationkey").cast("string")).alias("object_lex"),
+                        F.lit("uri").alias("object_kind"), F.lit(None).cast("string").alias("object_datatype"))
+        return t.unionByName(lab).unionByName(seg).unionByName(nat)
+
+    orig = F.concat(F.lit(CUST), k.cast("string"))
+    dup = F.concat(F.lit(DUP), k.cast("string"))
+    c0 = cust_block(cust.filter(k % 4 == 0), orig, F.col("c_name"))
+    c1 = cust_block(cust.filter(k % 4 == 1), dup, F.concat(F.col("c_name"), F.lit(" (alt)")))
+    c2 = cust_block(cust.filter(k % 4 == 2), dup, F.reverse(F.col("c_name")))
+
+    lit = F.lit("literal").alias("object_kind")
+    xs = F.lit(XSD_STRING).alias("object_datatype")
+    nuri = F.concat(F.lit(NAT), F.col("n_nationkey").cast("string")).alias("subject")
+    nat_t = (
+        nation.select(nuri, F.lit(RDF_TYPE).alias("predicate"), F.lit(O + "Nation").alias("object_lex"),
+                      F.lit("uri").alias("object_kind"), F.lit(None).cast("string").alias("object_datatype"))
+        .unionByName(nation.select(nuri, F.lit(RDFS_LABEL).alias("predicate"), F.col("n_name").alias("object_lex"), lit, xs))
+        .unionByName(nation.select(nuri, F.lit(P + "region").alias("predicate"),
+                                   F.concat(F.lit(REG), F.col("n_regionkey").cast("string")).alias("object_lex"),
+                                   F.lit("uri").alias("object_kind"), F.lit(None).cast("string").alias("object_datatype")))
+    )
+    ruri = F.concat(F.lit(REG), F.col("r_regionkey").cast("string")).alias("subject")
+    reg_t = (
+        region.select(ruri, F.lit(RDF_TYPE).alias("predicate"), F.lit(O + "Region").alias("object_lex"),
+                      F.lit("uri").alias("object_kind"), F.lit(None).cast("string").alias("object_datatype"))
+        .unionByName(region.select(ruri, F.lit(RDFS_LABEL).alias("predicate"), F.col("r_name").alias("object_lex"), lit, xs))
+    )
+    return c0.unionByName(c1).unionByName(c2).unionByName(nat_t).unionByName(reg_t)
+
+
+def _entity_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified-source-entities dict (integration_eval.py load_entity_dict
+    shape): even customers; every third has no label."""
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.filter(k % 2 == 0).select(
+        F.concat(F.lit(CUST), k.cast("string")).alias("entity_uri"),
+        F.when(k % 3 != 0, F.col("c_name")).otherwise(F.lit(None).cast("string")).alias("entity_label"),
+    )
+
+
+def _soft_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _label_matches(s, d):
+        from kgpipe_spark.eval.soft import soft_entity_mapping
+
+        return soft_entity_mapping(_soft_actual(s, d), _base_triples(s, d))
+
+    q["kg_soft_label_matches"] = _label_matches
+
+    def _soft_e(s, d):
+        from kgpipe_spark.eval.soft import fact_alignment_soft_entities
+
+        return fact_alignment_soft_entities(_soft_actual(s, d), _base_triples(s, d))
+
+    q["kg_soft_fact_alignment_entities"] = _soft_e
+
+    def _soft_ev(s, d):
+        from kgpipe_spark.eval.soft import fact_alignment_soft_values
+
+        return fact_alignment_soft_values(_soft_actual(s, d), _base_triples(s, d))
+
+    q["kg_soft_fact_alignment_values"] = _soft_ev
+
+    def _cov_exact(s, d):
+        from kgpipe_spark.eval.soft import source_entity_coverage
+
+        return source_entity_coverage(_base_triples(s, d), _entity_dict(s, d))
+
+    q["kg_source_coverage_exact"] = _cov_exact
+
+    def _cov_fuzzy(s, d):
+        from kgpipe_spark.eval.soft import source_entity_coverage_fuzzy
+
+        return source_entity_coverage_fuzzy(_base_triples(s, d), _entity_dict(s, d))
+
+    q["kg_source_coverage_fuzzy"] = _cov_fuzzy
+
+    def _prec_fuzzy(s, d):
+        from kgpipe_spark.eval.soft import source_entity_precision_fuzzy
+
+        return source_entity_precision_fuzzy(_base_triples(s, d), _entity_dict(s, d))
+
+    q["kg_source_precision_fuzzy"] = _prec_fuzzy
+
     return q
 
 
@@ -956,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         WITH RECURSIVE {SQL_MATCHES}, {SQL_EDGES}, {SQL_TRIPLES},
         canon AS (SELECT node AS entity, component AS canonical FROM components WHERE node <> component),
         filtered AS (SELECT * FROM triples WHERE predicate <> '{_SA}'),
-        rewritten AS (
+        rewritten AS MATERIALIZED (
           SELECT coalesce(cs.canonical, t.subject) AS subject,
                  t.predicate,
                  CASE WHEN t.object_kind = 'uri' THEN coalesce(co.canonical, t.object_lex)
@@ -996,7 +1113,7 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT id_1, id_2, score, 'str' FROM matches WHERE id_type = 'relation'
         ),
-        rewritten AS (
+        rewritten AS MATERIALIZED (
           SELECT id_1, id_2, score,
                  regexp_replace(id_type, '^str$', 'relation') AS id_type
           FROM u
@@ -1266,9 +1383,316 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
     """
 
+    sql.update(_soft_sql())
     sql.update(_relational_sql())
     sql.update(_doc_sql())
     sql.update(_emb_sql())
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# soft-eval oracle SQL: bit-exact DuckDB replica of kgpipe_spark.eval.soft
+# (char-3-gram → md5 first-4-bytes-LE → signed 64-bin integer vectors;
+# cosine = exact integer dot / sqrt products — see soft.py module docstring)
+# ---------------------------------------------------------------------------
+
+_CLEAN = (
+    "trim(regexp_replace(regexp_replace({c}, '_', ' ', 'g'), '\\([^)]*\\)', '', 'g'))"
+)
+
+
+def _sql_embed(p: str, src: str) -> str:
+    """CTE chain embedding {src}(id, text) → {p}_gd, {p}_bins, {p}_norm."""
+    return f"""
+{p}_pad AS (SELECT id, ' ' || lower(text) || ' ' AS s FROM {src} WHERE length(text) >= 1),
+{p}_grams AS MATERIALIZED (
+  SELECT id, substr(s, CAST(j AS INTEGER), 3) AS g
+  FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS j FROM {p}_pad)
+),
+{p}_gd AS MATERIALIZED (SELECT DISTINCT id, g FROM {p}_grams),
+{p}_bins AS MATERIALIZED (
+  SELECT id, h % 64 AS bin, sum(1 - 2 * ((h >> 31) & 1)) AS v FROM (
+    SELECT id, CAST(CAST('0x' || substr(m, 7, 2) || substr(m, 5, 2) || substr(m, 3, 2) || substr(m, 1, 2) AS UBIGINT) AS BIGINT) AS h
+    FROM (SELECT id, md5(g) AS m FROM {p}_grams)
+  ) GROUP BY id, bin
+),
+{p}_norm AS MATERIALIZED (SELECT id, sum(v * v) AS ssq FROM {p}_bins GROUP BY id)"""
+
+
+def _sql_cosine(a: str, e: str, out: str, max_block: int = 1000) -> str:
+    """CTE chain: {out}(lid, rid, cos) — blocked candidate pairs between the
+    {a}_* and {e}_* embed chains, exact cosine."""
+    return f"""
+{out}_hot AS MATERIALIZED (
+  SELECT g FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) WHERE c > {max_block}
+  UNION
+  SELECT g FROM (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) WHERE c > {max_block}
+),
+{out}_cand AS MATERIALIZED (
+  SELECT DISTINCT l.id AS lid, r.id AS rid
+  FROM {a}_gd l JOIN {e}_gd r USING (g)
+  WHERE g NOT IN (SELECT g FROM {out}_hot)
+),
+{out} AS MATERIALIZED (
+  SELECT c.lid, c.rid,
+         sum(lb.v * rb.v) / (sqrt(min(ln.ssq)) * sqrt(min(rn.ssq))) AS cos
+  FROM {out}_cand c
+  JOIN {a}_bins lb ON lb.id = c.lid
+  JOIN {e}_bins rb ON rb.id = c.rid AND rb.bin = lb.bin
+  JOIN {a}_norm ln ON ln.id = c.lid
+  JOIN {e}_norm rn ON rn.id = c.rid
+  GROUP BY c.lid, c.rid
+)"""
+
+
+SQL_SOFT_ACTUAL = f"""
+soft_actual AS (
+  SELECT 'http://kg.org/cust/' || c_custkey AS subject, '{_RT}' AS predicate,
+         'http://kg.org/onto/Customer' AS object_lex, 'uri' AS object_kind,
+         CAST(NULL AS VARCHAR) AS object_datatype FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'http://kg.org/cust/' || c_custkey, '{_RL}', c_name, 'literal', '{_XS}' FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'http://kg.org/cust/' || c_custkey, 'http://kg.org/prop/mktsegment', c_mktsegment, 'literal', '{_XS}' FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'http://kg.org/cust/' || c_custkey, 'http://kg.org/prop/nation', 'http://kg.org/nation/' || c_nationkey, 'uri', NULL FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, '{_RT}', 'http://kg.org/onto/Customer', 'uri', NULL FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, '{_RL}', c_name || ' (alt)', 'literal', '{_XS}' FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, 'http://kg.org/prop/mktsegment', c_mktsegment, 'literal', '{_XS}' FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, 'http://kg.org/prop/nation', 'http://kg.org/nation/' || c_nationkey, 'uri', NULL FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, '{_RT}', 'http://kg.org/onto/Customer', 'uri', NULL FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, '{_RL}', reverse(c_name), 'literal', '{_XS}' FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, 'http://kg.org/prop/mktsegment', c_mktsegment, 'literal', '{_XS}' FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL
+  SELECT 'http://kg.org/dup/' || c_custkey, 'http://kg.org/prop/nation', 'http://kg.org/nation/' || c_nationkey, 'uri', NULL FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL
+  SELECT 'http://kg.org/nation/' || n_nationkey, '{_RT}', 'http://kg.org/onto/Nation', 'uri', NULL FROM nation
+  UNION ALL
+  SELECT 'http://kg.org/nation/' || n_nationkey, '{_RL}', n_name, 'literal', '{_XS}' FROM nation
+  UNION ALL
+  SELECT 'http://kg.org/nation/' || n_nationkey, 'http://kg.org/prop/region', 'http://kg.org/region/' || n_regionkey, 'uri', NULL FROM nation
+  UNION ALL
+  SELECT 'http://kg.org/region/' || r_regionkey, '{_RT}', 'http://kg.org/onto/Region', 'uri', NULL FROM region
+  UNION ALL
+  SELECT 'http://kg.org/region/' || r_regionkey, '{_RL}', r_name, 'literal', '{_XS}' FROM region
+)"""
+
+SQL_ENTITY_DICT = """
+entity_dict AS (
+  SELECT 'http://kg.org/cust/' || c_custkey AS entity_uri,
+         CASE WHEN c_custkey % 3 <> 0 THEN c_name ELSE NULL END AS entity_label
+  FROM customer WHERE c_custkey % 2 = 0
+)"""
+
+# labels → soft mapping (actual→expected), shared by the SoftE/SoftEV oracles
+_SQL_SOFT_MAP = (
+    f"""
+a_lab AS MATERIALIZED (SELECT subject AS id, min({_CLEAN.format(c='object_lex')}) AS text
+          FROM soft_actual WHERE predicate = '{_RL}' GROUP BY subject),
+e_lab AS MATERIALIZED (SELECT subject AS id, min({_CLEAN.format(c='object_lex')}) AS text
+          FROM triples WHERE predicate = '{_RL}' GROUP BY subject),"""
+    + _sql_embed("al", "a_lab")
+    + ","
+    + _sql_embed("el", "e_lab")
+    + ","
+    + _sql_cosine("al", "el", "lab_cos")
+    + """,
+soft_map AS MATERIALIZED (
+  SELECT lid AS actual_uri, rid AS expected_uri, cos AS score FROM (
+    SELECT lid, rid, cos,
+           row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn
+    FROM lab_cos
+  ) WHERE rn = 1 AND cos > 0.95
+)"""
+)
+
+_SQL_PRF = """
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       round(tp / greatest(tp + fp, 1), 6) AS precision,
+       round(tp / greatest(tp + fn, 1), 6) AS recall,
+       round(2 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+FROM counts"""
+
+
+def _soft_sql() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["kg_soft_label_matches"] = (
+        f"WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_SOFT_MAP} SELECT * FROM soft_map"
+    )
+
+    sql["kg_soft_fact_alignment_entities"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_SOFT_MAP},
+        rewritten AS MATERIALIZED (
+          SELECT coalesce(ms.expected_uri, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(mo.expected_uri, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind
+          FROM soft_actual t
+          LEFT JOIN soft_map ms ON t.subject = ms.actual_uri
+          LEFT JOIN soft_map mo ON t.object_kind = 'uri' AND t.object_lex = mo.actual_uri
+        ),
+        a_d AS (SELECT DISTINCT subject, predicate, object_lex, object_kind, 1 AS am FROM rewritten),
+        e_d AS (SELECT DISTINCT subject, predicate, object_lex, object_kind, 1 AS em FROM triples),
+        j AS (
+          SELECT am, em FROM a_d FULL OUTER JOIN e_d USING (subject, predicate, object_lex, object_kind)
+        ),
+        counts AS (
+          SELECT sum(CASE WHEN am = 1 AND em = 1 THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN am = 1 AND em IS NULL THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN am IS NULL AND em = 1 THEN 1 ELSE 0 END) AS fn
+          FROM j
+        )
+        {_SQL_PRF}
+    """
+
+    sql["kg_soft_fact_alignment_values"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_SOFT_MAP},
+        a_obj_lab AS (SELECT DISTINCT subject AS luri, {_CLEAN.format(c='object_lex')} AS lab
+                      FROM soft_actual WHERE predicate = '{_RL}'),
+        e_obj_lab AS (SELECT DISTINCT subject AS luri, {_CLEAN.format(c='object_lex')} AS lab
+                      FROM triples WHERE predicate = '{_RL}'),
+        a_exp AS MATERIALIZED (
+          SELECT DISTINCT coalesce(ms.expected_uri, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(la.lab, t.object_lex)
+                      ELSE t.object_lex END AS value
+          FROM soft_actual t
+          LEFT JOIN soft_map ms ON t.subject = ms.actual_uri
+          LEFT JOIN a_obj_lab la ON t.object_kind = 'uri' AND t.object_lex = la.luri
+        ),
+        e_exp AS MATERIALIZED (
+          SELECT DISTINCT t.subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(le.lab, t.object_lex)
+                      ELSE t.object_lex END AS value
+          FROM triples t
+          LEFT JOIN e_obj_lab le ON t.object_kind = 'uri' AND t.object_lex = le.luri
+        ),
+        vals AS MATERIALIZED (
+          SELECT DISTINCT value AS id, value AS text FROM (
+            SELECT value FROM a_exp UNION SELECT value FROM e_exp
+          )
+        ),
+        {_sql_embed("vv", "vals")},
+        pairs AS MATERIALIZED (
+          SELECT a.subject, a.predicate, a.value, e.value AS evalue
+          FROM a_exp a JOIN e_exp e USING (subject, predicate)
+        ),
+        dots AS MATERIALIZED (
+          SELECT p.subject, p.predicate, p.value, p.evalue, sum(b1.v * b2.v) AS dot
+          FROM pairs p
+          JOIN vv_bins b1 ON b1.id = p.value
+          JOIN vv_bins b2 ON b2.id = p.evalue AND b2.bin = b1.bin
+          GROUP BY p.subject, p.predicate, p.value, p.evalue
+        ),
+        scored AS MATERIALIZED (
+          SELECT p.subject, p.predicate, p.value,
+                 CASE WHEN d.dot IS NOT NULL AND na.ssq > 0 AND ne.ssq > 0
+                      THEN d.dot / (sqrt(na.ssq) * sqrt(ne.ssq)) ELSE 0.0 END AS cos
+          FROM pairs p
+          LEFT JOIN dots d USING (subject, predicate, value, evalue)
+          LEFT JOIN vv_norm na ON na.id = p.value
+          LEFT JOIN vv_norm ne ON ne.id = p.evalue
+        ),
+        per_actual AS MATERIALIZED (
+          SELECT subject, predicate, value, max(cos) AS best
+          FROM scored GROUP BY subject, predicate, value
+        ),
+        tpfp AS (
+          SELECT sum(CASE WHEN best > 0.95 THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN best > 0.95 THEN 0 ELSE 1 END) AS fp
+          FROM per_actual
+        ),
+        fncnt AS (
+          SELECT count(*) AS fn FROM e_exp e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM a_exp a WHERE a.subject = e.subject AND a.predicate = e.predicate
+          )
+        ),
+        counts AS (
+          SELECT coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp, fn FROM tpfp CROSS JOIN fncnt
+        )
+        {_SQL_PRF}
+    """
+
+    sql["kg_source_coverage_exact"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_ENTITY_DICT},
+        labeled AS (SELECT subject, object_lex AS label FROM triples WHERE predicate = '{_RL}'),
+        overlap AS (
+          SELECT subject FROM labeled WHERE subject IN (SELECT entity_uri FROM entity_dict)
+          UNION
+          SELECT subject FROM labeled
+          WHERE label IN (SELECT entity_label FROM entity_dict WHERE entity_label IS NOT NULL)
+        ),
+        c AS (
+          SELECT (SELECT count(DISTINCT entity_uri) FROM entity_dict) AS expected_n,
+                 (SELECT count(DISTINCT subject) FROM labeled) AS found_n,
+                 (SELECT count(*) FROM overlap) AS overlap_n
+        )
+        SELECT CAST(expected_n AS BIGINT) AS expected_entities,
+               CAST(found_n AS BIGINT) AS found_entities,
+               CAST(overlap_n AS BIGINT) AS overlapping_entities,
+               floor(least(overlap_n / expected_n, 1.0) * 1000000) / 1000000.0 AS coverage
+        FROM c
+    """
+
+    sql["kg_source_coverage_fuzzy"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_ENTITY_DICT},
+        found AS (SELECT object_lex AS label FROM triples WHERE predicate = '{_RL}'),
+        fl AS (SELECT DISTINCT label AS id, label AS text FROM found),
+        dl AS (SELECT DISTINCT entity_label AS id, entity_label AS text
+               FROM entity_dict WHERE entity_label IS NOT NULL),
+        {_sql_embed("fz", "fl")},
+        {_sql_embed("dz", "dl")},
+        {_sql_cosine("fz", "dz", "fuzzy_cos")},
+        matched AS (SELECT DISTINCT lid FROM fuzzy_cos WHERE cos >= 0.95)
+        SELECT CAST((SELECT count(DISTINCT entity_uri) FROM entity_dict) AS BIGINT) AS expected_entities,
+               CAST((SELECT count(*) FROM found) AS BIGINT) AS found_labels,
+               CAST((SELECT count(*) FROM matched) AS BIGINT) AS overlapping_labels
+    """
+
+    sql["kg_source_precision_fuzzy"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_ENTITY_DICT},
+        found AS (SELECT object_lex AS label FROM triples WHERE predicate = '{_RL}'),
+        occ AS (SELECT label, count(*) AS n_occ FROM found GROUP BY label),
+        fl AS (SELECT label AS id, label AS text FROM occ),
+        dl AS (SELECT DISTINCT entity_label AS id, entity_label AS text
+               FROM entity_dict WHERE entity_label IS NOT NULL),
+        {_sql_embed("fz", "fl")},
+        {_sql_embed("dz", "dl")},
+        {_sql_cosine("fz", "dz", "fuzzy_cos")},
+        best AS (
+          SELECT lid AS label, rid AS ref, cos FROM (
+            SELECT lid, rid, cos,
+                   row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn
+            FROM fuzzy_cos WHERE cos >= 0.95
+          ) WHERE rn = 1
+        ),
+        claimed AS (
+          SELECT b.label, b.ref, b.cos, o.n_occ,
+                 row_number() OVER (PARTITION BY b.ref ORDER BY b.cos DESC, b.label ASC) AS claim_rn
+          FROM best b JOIN occ o USING (label)
+        ),
+        agg AS (
+          SELECT count(DISTINCT label) AS overlapping,
+                 sum(CASE WHEN claim_rn = 1 THEN 1 ELSE 0 END) AS strict,
+                 sum(n_occ) AS matched_occ
+          FROM claimed
+        )
+        SELECT CAST((SELECT count(DISTINCT entity_uri) FROM entity_dict) AS BIGINT) AS expected_entities,
+               CAST((SELECT count(*) FROM found) AS BIGINT) AS found_labels,
+               CAST(coalesce(overlapping, 0) AS BIGINT) AS overlapping_labels,
+               CAST(coalesce(strict, 0) AS BIGINT) AS strict_overlapping,
+               CAST(coalesce(matched_occ, 0) - coalesce(strict, 0) AS BIGINT) AS possible_duplicates
+        FROM agg
+    """
+
     return sql
 
 
@@ -1426,7 +1850,7 @@ def _doc_sql() -> dict[str, str]:
         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM pairs_sh GROUP BY doc_id),
         block_ok AS (SELECT shingle FROM pairs_sh GROUP BY shingle HAVING count(*) <= 2000),
         sh_f AS (SELECT p.* FROM pairs_sh p SEMI JOIN block_ok b USING (shingle)),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
           FROM sh_f x JOIN sh_f y USING (shingle)
           WHERE x.doc_id < y.doc_id
@@ -1542,7 +1966,7 @@ def _emb_sql() -> dict[str, str]:
     sql["emb_cosine_topk"] = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 5),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT q.q_id, e.vec_id, {_cos} AS cosine
           FROM e CROSS JOIN q
         ),
