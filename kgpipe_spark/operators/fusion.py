@@ -200,6 +200,35 @@ def fuse_majority(source: DataFrame) -> DataFrame:
     )
 
 
+def preference_fusion(
+    triples: DataFrame,
+    preferred_source: str = "target_kg",
+    score_col: str = "score",
+    source_col: str = "source",
+) -> DataFrame:
+    """One value per (subject, predicate): the highest-scoring value from
+    ``preferred_source`` when that source contributed any, else the overall
+    highest-scoring value.
+
+    Mirrors ``preference_fusion``
+    (`/root/reference/src/kgpipe_tasks/entity_resolution/fusion/preference.py:230-252`).
+    The reference's ``max()`` keeps the first of tied scores (list-order
+    dependent); we pin a stable content-hash tiebreak (SURVEY.md §4.2.4).
+    """
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        F.when(F.col(source_col) == preferred_source, 0).otherwise(1),
+        F.desc(score_col),
+        stable_order_key(
+            F.col("object_lex"), F.col("object_kind"), F.col("object_datatype")
+        ),
+    )
+    return (
+        triples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def aggregate_matches(m1: DataFrame, m2: DataFrame) -> DataFrame:
     """Union two ER match sets, rewriting id_type 'str'→'relation'
     (`fusion/simple.py:10-37` aggregate_2matches)."""

@@ -129,6 +129,7 @@ def link_embedding_topk(
     dictionary: DataFrame,
     spark: SparkSession,
     accept: float = DEFAULT_ACCEPT,
+    max_broadcast: int = 2_000_000,
 ) -> DataFrame:
     """Residual mentions → top-1 cosine against broadcast label matrix.
 
@@ -136,7 +137,20 @@ def link_embedding_topk(
     and broadcast — mirroring the reference's in-memory ``LabelIndex``
     (extract_json.py:73-96) but batched via Arrow. The distinct() before the
     UDF is the relational version of the reference's per-key memo cache.
+
+    SCALE GUARD: a seed-KG dictionary broadcasts fine (2M labels × 64 dims
+    ≈ 512 MB float32 — the documented ceiling), but a corpus-derived
+    dictionary at 100 TB does not. Above ``max_broadcast`` rows this falls
+    back to the distributed MinHash-LSH join (``link_minhash_lsh``), whose
+    char-3-gram Jaccard is the blocking surrogate the reference itself uses
+    for long-tail entities.
     """
+    over = dictionary.limit(max_broadcast + 1).count() > max_broadcast
+    if over:
+        linked_q = link_minhash_lsh(
+            mentions.select("query_text").distinct(), dictionary
+        ).filter(F.col("score") >= accept)
+        return mentions.join(linked_q, "query_text", "left")
     dict_rows = dictionary.select("uri", "label").collect()
     uris = [r["uri"] for r in dict_rows]
     labels = pd.Series([r["label"] for r in dict_rows])
@@ -179,12 +193,15 @@ def link_minhash_lsh(
     dictionary: DataFrame,
     jaccard_threshold: float = 0.5,
     num_hash_tables: int = 3,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Fuzzy label candidates via MinHashLSH over char-3-gram count vectors.
 
     Output: (query_text, mapping, score=1-jaccardDistance), top-1 per query
     (Window rerank — LSH join output must be deduped to match the
-    reference's argmax semantics, SURVEY.md §4.2.2).
+    reference's argmax semantics, SURVEY.md §4.2.2). With ``keep_all`` every
+    pair above threshold is returned (the edge-list form ``link_two_pass``
+    clusters on).
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram
     from pyspark.sql.window import Window
@@ -213,12 +230,15 @@ def link_minhash_lsh(
     model = lsh.fit(d_v)
     pairs = model.approxSimilarityJoin(q_v, d_v, 1.0 - jaccard_threshold, distCol="dist")
 
+    flat = pairs.select(
+        F.col("datasetA.query_text").alias("query_text"),
+        F.col("datasetB.uri").alias("mapping"),
+        (1.0 - F.col("dist")).alias("score"),
+    )
+    if keep_all:
+        return flat
     ranked = (
-        pairs.select(
-            F.col("datasetA.query_text").alias("query_text"),
-            F.col("datasetB.uri").alias("mapping"),
-            (1.0 - F.col("dist")).alias("score"),
-        )
+        flat
         .withColumn(
             "rn",
             F.row_number().over(
@@ -252,15 +272,57 @@ def link_or_mint(linked_mentions: DataFrame, accept: float = DEFAULT_ACCEPT) -> 
 
 
 def link_two_pass(
-    mentions: DataFrame, dictionary: DataFrame, accept: float = DEFAULT_ACCEPT
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    accept: float = DEFAULT_ACCEPT,
+    jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 3,
 ) -> DataFrame:
-    """Two-pass replacement for the reference's mutable dynamic index.
+    """Two-pass replacement for the reference's mutable dynamic index
+    (extract_json.py:84-89,498-510).
 
-    Pass 1: exact-dictionary link. Pass 2: mentions that minted new URIs are
-    re-linked against the pass-1 minted entities' labels, so repeated new
-    surfaces collapse to one canonical minted URI (which sha256-minting
-    already guarantees for identical normalized surfaces; pass 2 additionally
-    collapses *near*-identical surfaces if an LSH pass is enabled upstream).
+    Pass 1: exact-dictionary link-or-mint. Identical normalized surfaces
+    already share one sha256-minted URI. Pass 2: the minted residual's
+    surfaces are MinHash-LSH self-joined (all pairs ≥ jaccard_threshold) and
+    clustered via connected components, so *near*-identical new surfaces
+    collapse to one canonical minted URI (min URI per component — the
+    deterministic batch analogue of the reference's order-dependent
+    "first minted entity wins").
     """
+    from kgpipe_spark.operators.cluster import connected_components
+
     pass1 = link_or_mint(link_exact(mentions, dictionary), accept)
-    return pass1
+    minted = pass1.filter(F.col("mapping").isNull())
+    # localCheckpoint breaks the twin lineage: both sides of the LSH
+    # self-join below descend from `minted`, which trips a Spark 4.x
+    # optimizer mis-plan (zero-entry vectors reach the LSH hash UDF) when
+    # left as one shared plan — same family as the exceptAll twin-plan bug.
+    minted_dict = (
+        minted.select(F.col("resolved_uri").alias("uri"), F.col("query_text").alias("label"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fuzzy = link_minhash_lsh(
+        minted_dict.select(F.col("label").alias("query_text")),
+        minted_dict,
+        jaccard_threshold,
+        num_hash_tables,
+        keep_all=True,
+    )
+    own = minted_dict.select(
+        F.col("label").alias("query_text"), F.col("uri").alias("own_uri")
+    )
+    edges = (
+        fuzzy.join(own, "query_text")
+        .filter(F.col("mapping") != F.col("own_uri"))
+        .select(F.col("own_uri").alias("src"), F.col("mapping").alias("dst"))
+    )
+    comp = connected_components(edges)
+    rewrite = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("resolved_uri"), F.col("component").alias("_canon")
+    )
+    return (
+        pass1.join(F.broadcast(rewrite), "resolved_uri", "left")
+        .withColumn("resolved_uri", F.coalesce("_canon", "resolved_uri"))
+        .drop("_canon")
+    )

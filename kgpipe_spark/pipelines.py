@@ -109,7 +109,10 @@ def link_map(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
         linked.filter(F.col("mapping").isNotNull())
         .select(F.col("doc_uri").alias("entity"), F.col("mapping").alias("canonical"))
         .filter(F.col("entity") != F.col("canonical"))
-        .dropDuplicates(["entity"])
+        # deterministic: an entity with several labels resolving to different
+        # URIs keeps the min canonical (dropDuplicates keeps an arbitrary row)
+        .groupBy("entity")
+        .agg(F.min("canonical").alias("canonical"))
     )
 
 
@@ -180,11 +183,16 @@ def run_flagship(
         .select("subject", normalize_label(F.col("object_lex")).alias("norm"))
         .distinct()
     )
+    # star edges, not a pairwise self-join: every member of a same-label
+    # group connects to the group's min subject. Connectivity (hence the
+    # components) is identical, but edge count is LINEAR in group size —
+    # a hot label ("readme", "main") with 100k members yields 100k-1 edges
+    # instead of ~5e9 pairs. No frequency cap needed.
+    hubs = label_pairs.groupBy("norm").agg(F.min("subject").alias("src"))
     dup_edges = (
-        label_pairs.alias("a")
-        .join(label_pairs.alias("b"), "norm")
-        .filter(F.col("a.subject") < F.col("b.subject"))
-        .select(F.col("a.subject").alias("src"), F.col("b.subject").alias("dst"))
+        label_pairs.join(hubs, "norm")
+        .filter(F.col("subject") != F.col("src"))
+        .select("src", F.col("subject").alias("dst"))
     )
     components = connected_components(dup_edges)
     canon = canonical_map(components, prefer_namespace=KG_NS + "person/")

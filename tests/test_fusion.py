@@ -111,3 +111,24 @@ def test_aggregate_matches_rewrites_str(spark):
     m2 = spark.createDataFrame([("p", "q", 0.8, "str")], ["id_1", "id_2", "score", "id_type"])
     rows = {r["id_type"] for r in aggregate_matches(m1, m2).collect()}
     assert rows == {"entity", "relation"}
+
+
+def test_preference_fusion_prefers_source_then_score(spark):
+    from kgpipe_spark.operators.fusion import preference_fusion
+
+    rows = [
+        # preferred source present: its best value wins despite lower score
+        ("e1", "p", "from-target-low", "literal", None, 0.2, "target_kg"),
+        ("e1", "p", "from-target-high", "literal", None, 0.4, "target_kg"),
+        ("e1", "p", "from-other", "literal", None, 0.9, "other"),
+        # no preferred source: overall best score wins
+        ("e2", "p", "a", "literal", None, 0.3, "x"),
+        ("e2", "p", "b", "literal", None, 0.8, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_lex string, object_kind string,"
+        " object_datatype string, score double, source string",
+    )
+    out = {r["subject"]: r["object_lex"] for r in preference_fusion(df).collect()}
+    assert out == {"e1": "from-target-high", "e2": "b"}

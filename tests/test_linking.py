@@ -75,3 +75,38 @@ def test_link_minhash_lsh(spark):
     out = {r["query_text"]: r["mapping"] for r in link_minhash_lsh(m, d, jaccard_threshold=0.3).collect()}
     assert out.get("Director 1") == "http://kg.org/person/d1"
     assert out.get("Directer 1") == "http://kg.org/person/d1"
+
+
+def test_link_two_pass_collapses_near_identical_minted(spark):
+    """Pass 2 (soft_metrics dynamic-index replacement): near-identical new
+    surfaces collapse to one canonical minted URI; distinct surfaces don't."""
+    from kgpipe_spark.operators.linking import link_two_pass
+
+    d = label_dictionary(_kg(spark))
+    m = _mentions(
+        spark,
+        [
+            "Director 1",                 # exact-links to d1 (untouched by pass 2)
+            "Some Brand New Entity",      # minted
+            "Some Brand New Entityy",     # near-identical → collapses with ^
+            "Totally Other Thing",        # minted, distinct cluster
+        ],
+    )
+    out = {r["query_text"]: r["resolved_uri"] for r in link_two_pass(m, d).collect()}
+    assert out["Director 1"] == "http://kg.org/person/d1"
+    assert out["Some Brand New Entity"] == out["Some Brand New Entityy"]
+    assert out["Totally Other Thing"] != out["Some Brand New Entity"]
+    assert out["Totally Other Thing"].startswith("http://kg.org/newE/")
+
+
+def test_link_embedding_topk_lsh_fallback(spark):
+    """Above max_broadcast the linker must route through the distributed
+    LSH join instead of collecting the dictionary."""
+    d = label_dictionary(_kg(spark))
+    m = _mentions(spark, ["Director 1", "zzz unknown zzz"])
+    out = {
+        r["query_text"]: r["mapping"]
+        for r in link_embedding_topk(m, d, spark, max_broadcast=1).collect()
+    }
+    assert out["Director 1"] == "http://kg.org/person/d1"
+    assert out["zzz unknown zzz"] is None

@@ -62,3 +62,24 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     p3 = Pipeline(spark, stages3, checkpoint_dir=str(tmp_path))
     p3.run(df)
     assert [r["status"] for r in p3.report] == ["skipped", "done"]
+
+
+def test_flagship_hot_label_star_edges_bounded(spark):
+    """A hot normalized label (many same-label entities) must produce LINEAR
+    star edges feeding CC, not a quadratic self-join (round-1 verdict #5)."""
+    from kgpipe_spark.operators.cluster import connected_components
+
+    n = 10_000
+    label_pairs = spark.range(n).select(
+        F.concat(F.lit("e:"), F.col("id").cast("string")).alias("subject"),
+        F.lit("readme").alias("norm"),
+    )
+    hubs = label_pairs.groupBy("norm").agg(F.min("subject").alias("src"))
+    dup_edges = (
+        label_pairs.join(hubs, "norm")
+        .filter(F.col("subject") != F.col("src"))
+        .select("src", F.col("subject").alias("dst"))
+    )
+    assert dup_edges.count() == n - 1  # linear, not n*(n-1)/2
+    comp = connected_components(dup_edges)
+    assert comp.select("component").distinct().count() == 1
