@@ -583,6 +583,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_disjoint_class_violations"] = _disjoint_viol
 
+    def _rel_direction(s, d):
+        from kgpipe_spark.eval.semantic import relation_direction_counts
+
+        swapped = _read(s, d, "customer").filter(F.col("c_custkey") % 9 == 0).select(
+            F.concat(F.lit(NAT), F.col("c_nationkey").cast("string")).alias("subject"),
+            F.lit(P + "nation").alias("predicate"),
+            F.concat(F.lit(CUST), F.col("c_custkey").cast("string")).alias("object_lex"),
+            F.lit("uri").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_datatype"),
+        )
+        return relation_direction_counts(
+            _base_triples(s, d).unionByName(swapped), _ontology(s)
+        )
+
+    q["kg_relation_direction"] = _rel_direction
+
+    def _dt_format(s, d):
+        from kgpipe_spark.eval.semantic import datatype_format_violations
+
+        cust = _read(s, d, "customer")
+        k = F.col("c_custkey")
+        regdate = cust.select(
+            F.concat(F.lit(CUST), k.cast("string")).alias("subject"),
+            F.lit(P + "regdate").alias("predicate"),
+            F.when(
+                k % 7 != 0,
+                F.concat(F.lit("2020-01-"), F.lpad((k % 28 + 1).cast("string"), 2, "0")),
+            ).otherwise(F.concat(F.lit("bad-"), k.cast("string"))).alias("object_lex"),
+            F.lit("literal").alias("object_kind"),
+            F.lit("http://www.w3.org/2001/XMLSchema#date").alias("object_datatype"),
+        )
+        onto = _ontology(s).unionByName(
+            s.createDataFrame(
+                [(P + "regdate", "regdate", None, O + "Customer",
+                  "http://www.w3.org/2001/XMLSchema#date", "false", 1)],
+                _ontology(s).schema,
+            )
+        )
+        return datatype_format_violations(_base_triples(s, d).unionByName(regdate), onto)
+
+    q["kg_datatype_format_violations"] = _dt_format
+
+    def _cls_coverage(s, d):
+        from kgpipe_spark.eval.semantic import ontology_class_coverage
+
+        ghost = _read(s, d, "customer").filter(F.col("c_custkey") % 13 == 0).select(
+            F.concat(F.lit(CUST), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(O + "Ghost").alias("object_lex"),
+            F.lit("uri").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_datatype"),
+        )
+        expected = s.createDataFrame(
+            [(O + "Customer",), (O + "Nation",), (O + "Region",), (O + "Supplier",)], ["cls"]
+        )
+        return ontology_class_coverage(_base_triples(s, d).unionByName(ghost), expected)
+
+    q["kg_ontology_class_coverage"] = _cls_coverage
+
+    def _rel_coverage(s, d):
+        from kgpipe_spark.eval.semantic import ontology_relation_coverage
+
+        onto = _ontology(s).unionByName(
+            s.createDataFrame(
+                [(P + "founded", "founded", None, O + "Customer", XSD_STRING, "false", 1)],
+                _ontology(s).schema,
+            )
+        )
+        return ontology_relation_coverage(_base_triples(s, d), onto)
+
+    q["kg_ontology_relation_coverage"] = _rel_coverage
+
+    def _ns_coverage(s, d):
+        from kgpipe_spark.eval.semantic import ontology_namespace_coverage
+
+        expected = s.createDataFrame(
+            [(CUST,), (NAT,), (REG,), (KG_NS + "person/",)], ["ns"]
+        )
+        return ontology_namespace_coverage(_base_triples(s, d), expected)
+
+    q["kg_ontology_namespace_coverage"] = _ns_coverage
+
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
@@ -1381,6 +1463,148 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.e AS subject, a.cls AS cls_a, b.cls AS cls_b
         FROM typed a JOIN typed b ON a.e = b.e
         WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
+    """
+
+    sql["kg_relation_direction"] = f"""
+        WITH {SQL_TRIPLES},
+        swapped AS (
+          SELECT 'http://kg.org/nation/' || c_nationkey AS subject,
+                 'http://kg.org/prop/nation' AS predicate,
+                 'http://kg.org/cust/' || c_custkey AS object_lex,
+                 'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype
+          FROM customer WHERE c_custkey % 9 = 0
+        ),
+        allt AS (SELECT * FROM triples UNION ALL SELECT * FROM swapped),
+        preds(predicate, dom, rng) AS (VALUES
+          ('http://kg.org/prop/nation', 'http://kg.org/onto/Customer', 'http://kg.org/onto/Nation'),
+          ('http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region'),
+          ('http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', '{_XD}'),
+          ('http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', '{_XS}')
+        ),
+        has AS (SELECT DISTINCT subject AS e, object_lex AS cls FROM allt WHERE predicate = '{_RT}'),
+        t AS (
+          SELECT DISTINCT a.subject, a.predicate, a.object_lex, p.dom, p.rng
+          FROM (SELECT DISTINCT subject, predicate, object_lex FROM allt WHERE object_kind = 'uri') a
+          JOIN preds p USING (predicate)
+        ),
+        flags AS (
+          SELECT t.*,
+                 sd.e IS NOT NULL AS f_sd, orr.e IS NOT NULL AS f_or,
+                 od.e IS NOT NULL AS f_od, sr.e IS NOT NULL AS f_sr
+          FROM t
+          LEFT JOIN has sd ON sd.e = t.subject AND sd.cls = t.dom
+          LEFT JOIN has orr ON orr.e = t.object_lex AND orr.cls = t.rng
+          LEFT JOIN has od ON od.e = t.object_lex AND od.cls = t.dom
+          LEFT JOIN has sr ON sr.e = t.subject AND sr.cls = t.rng
+        ),
+        c AS (
+          SELECT sum(CASE WHEN f_od AND f_sr THEN 1 ELSE 0 END) AS incorrect,
+                 sum(CASE WHEN f_sd AND f_or THEN 1 ELSE 0 END) AS correct
+          FROM flags
+        )
+        SELECT CAST(coalesce(incorrect, 0) AS BIGINT) AS incorrect,
+               CAST(coalesce(correct, 0) AS BIGINT) AS correct,
+               round(CASE WHEN coalesce(incorrect, 0) + coalesce(correct, 0) > 0
+                          THEN 1.0 - incorrect / (incorrect + correct) ELSE 0.0 END, 6) AS score
+        FROM c
+    """
+
+    sql["kg_datatype_format_violations"] = f"""
+        WITH {SQL_TRIPLES},
+        regdate AS (
+          SELECT 'http://kg.org/cust/' || c_custkey AS subject,
+                 'http://kg.org/prop/regdate' AS predicate,
+                 CASE WHEN c_custkey % 7 <> 0
+                      THEN '2020-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+                      ELSE 'bad-' || c_custkey END AS object_lex,
+                 'literal' AS object_kind,
+                 'http://www.w3.org/2001/XMLSchema#date' AS object_datatype
+          FROM customer
+        ),
+        allt AS (SELECT * FROM triples UNION ALL SELECT * FROM regdate),
+        rng(predicate, expected_dt) AS (VALUES
+          ('http://kg.org/prop/acctbal', '{_XD}'),
+          ('http://kg.org/prop/mktsegment', '{_XS}'),
+          ('http://kg.org/prop/regdate', 'http://www.w3.org/2001/XMLSchema#date')
+        ),
+        lit AS (SELECT t.*, r.expected_dt FROM allt t JOIN rng r USING (predicate) WHERE t.object_kind = 'literal'),
+        checked AS (
+          SELECT subject, predicate, object_lex, expected_dt,
+                 CASE expected_dt
+                   WHEN 'http://www.w3.org/2001/XMLSchema#integer' THEN regexp_full_match(object_lex, '[0-9]+')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#double' THEN regexp_full_match(object_lex, '-?[0-9]*\\.?[0-9]+')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#date' THEN regexp_full_match(object_lex, '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#gYear' THEN regexp_full_match(object_lex, '[0-9]{{4}}')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#gMonth' THEN regexp_full_match(object_lex, '[0-9]{{2}}')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#gDay' THEN regexp_full_match(object_lex, '[0-9]{{2}}')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#gYearMonth' THEN regexp_full_match(object_lex, '[0-9]{{4}}-[0-9]{{2}}')
+                   WHEN 'http://www.w3.org/2001/XMLSchema#gMonthDay' THEN regexp_full_match(object_lex, '[0-9]{{2}}-[0-9]{{2}}')
+                   ELSE TRUE END AS ok
+          FROM lit
+        )
+        SELECT subject, predicate, object_lex, expected_dt FROM checked WHERE NOT ok
+    """
+
+    sql["kg_ontology_class_coverage"] = f"""
+        WITH {SQL_TRIPLES},
+        ghost AS (
+          SELECT 'http://kg.org/cust/' || c_custkey AS subject, '{_RT}' AS predicate,
+                 'http://kg.org/onto/Ghost' AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype
+          FROM customer WHERE c_custkey % 13 = 0
+        ),
+        allt AS (SELECT * FROM triples UNION ALL SELECT * FROM ghost),
+        found AS (SELECT DISTINCT object_lex AS cls FROM allt WHERE predicate = '{_RT}'
+                  AND NOT starts_with(object_lex, 'http://www.w3.org/2002/07/owl#')),
+        expected(cls) AS (VALUES ('http://kg.org/onto/Customer'), ('http://kg.org/onto/Nation'),
+                                 ('http://kg.org/onto/Region'), ('http://kg.org/onto/Supplier')),
+        counts AS (
+          SELECT sum(CASE WHEN a.cls IS NOT NULL AND e.cls IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN a.cls IS NOT NULL AND e.cls IS NULL THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN a.cls IS NULL AND e.cls IS NOT NULL THEN 1 ELSE 0 END) AS fn
+          FROM found a FULL OUTER JOIN expected e ON a.cls = e.cls
+        )
+        {_SQL_PRF}
+    """
+
+    sql["kg_ontology_relation_coverage"] = f"""
+        WITH {SQL_TRIPLES},
+        found AS (
+          SELECT DISTINCT predicate AS rel FROM triples
+          WHERE NOT starts_with(predicate, 'http://www.w3.org/2002/07/owl#')
+            AND NOT starts_with(predicate, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#')
+            AND NOT starts_with(predicate, 'http://www.w3.org/2000/01/rdf-schema#')
+        ),
+        expected(rel) AS (VALUES ('http://kg.org/prop/nation'), ('http://kg.org/prop/region'),
+                                 ('http://kg.org/prop/acctbal'), ('http://kg.org/prop/mktsegment'),
+                                 ('http://kg.org/prop/founded')),
+        counts AS (
+          SELECT sum(CASE WHEN a.rel IS NOT NULL AND e.rel IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN a.rel IS NOT NULL AND e.rel IS NULL THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN a.rel IS NULL AND e.rel IS NOT NULL THEN 1 ELSE 0 END) AS fn
+          FROM found a FULL OUTER JOIN expected e ON a.rel = e.rel
+        )
+        {_SQL_PRF}
+    """
+
+    sql["kg_ontology_namespace_coverage"] = f"""
+        WITH {SQL_TRIPLES},
+        found AS (
+          SELECT DISTINCT ns FROM (
+            SELECT regexp_extract(subject, '^(.*[/#])[^/#]*$', 1) AS ns FROM triples
+            UNION ALL
+            SELECT regexp_extract(object_lex, '^(.*[/#])[^/#]*$', 1) FROM triples WHERE object_kind = 'uri'
+          ) WHERE ns <> ''
+        ),
+        expected(ns) AS (VALUES ('http://kg.org/cust/'), ('http://kg.org/nation/'),
+                                ('http://kg.org/region/'), ('http://kg.org/person/')),
+        counts AS (
+          SELECT sum(CASE WHEN a.ns IS NOT NULL AND e.ns IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN a.ns IS NOT NULL AND e.ns IS NULL THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN a.ns IS NULL AND e.ns IS NOT NULL THEN 1 ELSE 0 END) AS fn
+          FROM found a FULL OUTER JOIN expected e ON a.ns = e.ns
+        )
+        {_SQL_PRF}
     """
 
     sql.update(_soft_sql())

@@ -103,3 +103,86 @@ def test_semantic_validators(spark):
     disjoint = spark.createDataFrame([("CA", "CB")], ["cls_a", "cls_b"])
     tt = t(spark, [("e", RDF_TYPE, "CA", "uri", None), ("e", RDF_TYPE, "CB", "uri", None)])
     assert disjoint_class_violations(tt, disjoint).count() == 1
+
+
+# --- extended validators (semantic.py:302-881) ------------------------------
+
+
+def _tiny_kg(spark):
+    rows = [
+        ("e:c1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "o:Customer", "uri", None),
+        ("e:n1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "o:Nation", "uri", None),
+        ("e:c1", "p:nation", "e:n1", "uri", None),        # correct direction
+        ("e:n1", "p:nation", "e:c1", "uri", None),        # swapped
+        ("e:c1", "p:born", "1999", "literal", "http://www.w3.org/2001/XMLSchema#gYear"),
+        ("e:c1", "p:born", "99x", "literal", "http://www.w3.org/2001/XMLSchema#gYear"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_lex string, object_kind string,"
+        " object_datatype string",
+    )
+
+
+def _tiny_onto(spark):
+    return spark.createDataFrame(
+        [
+            ("p:nation", "nation", None, "o:Customer", "o:Nation", "true", 1),
+            ("p:born", "born", None, "o:Customer",
+             "http://www.w3.org/2001/XMLSchema#gYear", "false", 1),
+        ],
+        "uri string, label string, aliases array<string>, domain string, range string,"
+        " is_object_prop string, max_cardinality int",
+    )
+
+
+def test_relation_direction_counts(spark):
+    from kgpipe_spark.eval.semantic import relation_direction_counts
+
+    row = relation_direction_counts(_tiny_kg(spark), _tiny_onto(spark)).collect()[0]
+    assert (row["incorrect"], row["correct"]) == (1, 1)
+    assert abs(row["score"] - 0.5) < 1e-9
+
+
+def test_datatype_format_violations(spark):
+    from kgpipe_spark.eval.semantic import datatype_format_violations
+
+    rows = datatype_format_violations(_tiny_kg(spark), _tiny_onto(spark)).collect()
+    assert [(r["object_lex"], r["expected_dt"]) for r in rows] == [
+        ("99x", "http://www.w3.org/2001/XMLSchema#gYear")
+    ]
+
+
+def test_ontology_class_coverage(spark):
+    from kgpipe_spark.eval.semantic import ontology_class_coverage
+
+    expected = spark.createDataFrame([("o:Customer",), ("o:Supplier",)], ["cls"])
+    row = ontology_class_coverage(_tiny_kg(spark), expected).collect()[0]
+    # found {Customer, Nation}; expected {Customer, Supplier}
+    assert (row["tp"], row["fp"], row["fn"]) == (1, 1, 1)
+
+
+def test_ontology_relation_coverage(spark):
+    from kgpipe_spark.eval.semantic import ontology_relation_coverage
+
+    row = ontology_relation_coverage(_tiny_kg(spark), _tiny_onto(spark)).collect()[0]
+    # found {p:nation, p:born} (rdf:type excluded); expected {p:nation, p:born}
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 0, 0)
+    assert row["f1"] == 1.0
+
+
+def test_ontology_namespace_coverage(spark):
+    from kgpipe_spark.eval.semantic import ontology_namespace_coverage
+
+    kg = spark.createDataFrame(
+        [
+            ("http://a.org/x/1", "p", "http://b.org/y/2", "uri", None),
+            ("http://a.org/x/3", "p", "lit", "literal", None),
+        ],
+        "subject string, predicate string, object_lex string, object_kind string,"
+        " object_datatype string",
+    )
+    expected = spark.createDataFrame([("http://a.org/x/",), ("http://c.org/z/",)], ["ns"])
+    row = ontology_namespace_coverage(kg, expected).collect()[0]
+    # found {a.org/x/, b.org/y/}; expected {a.org/x/, c.org/z/}
+    assert (row["tp"], row["fp"], row["fn"]) == (1, 1, 1)
