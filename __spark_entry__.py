@@ -583,6 +583,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_disjoint_class_violations"] = _disjoint_viol
 
+    def _rel_match_fixture(s, d):
+        """Deterministic relation-match predictions + gold clusters from
+        customer keys: suffix-equal pairs (k%40==0), gold-cluster pairs
+        (k%60==0), unmatched pairs (k%50==0, no suffix/gold support)."""
+        cust = _read(s, d, "customer").select("c_custkey")
+        k = F.col("c_custkey").cast("string")
+        m_suffix = cust.filter(F.col("c_custkey") % 40 == 0).select(
+            F.concat(F.lit(KG_NS + "a/attr"), k).alias("id_1"),
+            F.concat(F.lit(KG_NS + "b/attr"), k).alias("id_2"),
+            F.lit(0.9).alias("score"), F.lit("relation").alias("id_type"),
+        )
+        m_gold = cust.filter(F.col("c_custkey") % 60 == 0).select(
+            F.concat(F.lit(KG_NS + "a/p"), k).alias("id_1"),
+            F.concat(F.lit(KG_NS + "b/q"), k).alias("id_2"),
+            F.lit(0.8).alias("score"), F.lit("relation").alias("id_type"),
+        )
+        m_bad = cust.filter(F.col("c_custkey") % 50 == 0).select(
+            F.concat(F.lit(KG_NS + "a/x"), k).alias("id_1"),
+            F.concat(F.lit(KG_NS + "b/y"), k).alias("id_2"),
+            F.lit(0.7).alias("score"), F.lit("relation").alias("id_type"),
+        )
+        preds = m_suffix.unionByName(m_gold).unionByName(m_bad)
+        gold = cust.filter(F.col("c_custkey") % 30 == 0).select(
+            F.array(
+                F.concat(F.lit(KG_NS + "a/p"), k), F.concat(F.lit(KG_NS + "b/q"), k)
+            ).alias("uris")
+        )
+        return preds, gold
+
+    def _er_relation_eval(s, d):
+        from kgpipe_spark.eval.er_eval import evaluate_relation_matching
+
+        preds, gold = _rel_match_fixture(s, d)
+        return evaluate_relation_matching(preds, gold, threshold=0.5)
+
+    q["kg_er_relation_eval"] = _er_relation_eval
+
+    def _cluster_pairs(s, d):
+        from kgpipe_spark.eval.er_eval import cluster_pairs
+
+        cust = _read(s, d, "customer").filter(F.col("c_custkey") % 25 == 0)
+        k = F.col("c_custkey").cast("string")
+        clusters = cust.select(
+            F.array(
+                F.concat(F.lit(CUST), k),
+                F.concat(F.lit(KG_NS + "dupA/"), k),
+                F.concat(F.lit(KG_NS + "dupB/"), k),
+            ).alias("uris")
+        )
+        return cluster_pairs(clusters)
+
+    q["kg_cluster_file_pairs"] = _cluster_pairs
+
     def _rel_direction(s, d):
         from kgpipe_spark.eval.semantic import relation_direction_counts
 
@@ -1463,6 +1516,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.e AS subject, a.cls AS cls_a, b.cls AS cls_b
         FROM typed a JOIN typed b ON a.e = b.e
         WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
+    """
+
+    sql["kg_er_relation_eval"] = """
+        WITH preds AS (
+          SELECT 'http://kg.org/a/attr' || c_custkey AS id_1,
+                 'http://kg.org/b/attr' || c_custkey AS id_2, 0.9 AS score
+          FROM customer WHERE c_custkey % 40 = 0
+          UNION ALL
+          SELECT 'http://kg.org/a/p' || c_custkey, 'http://kg.org/b/q' || c_custkey, 0.8
+          FROM customer WHERE c_custkey % 60 = 0
+          UNION ALL
+          SELECT 'http://kg.org/a/x' || c_custkey, 'http://kg.org/b/y' || c_custkey, 0.7
+          FROM customer WHERE c_custkey % 50 = 0
+        ),
+        rel AS (
+          SELECT DISTINCT least(id_1, id_2) AS id_1, greatest(id_1, id_2) AS id_2
+          FROM preds WHERE score > 0.5 AND NOT id_1 LIKE '%-' AND NOT id_2 LIKE '%-'
+        ),
+        gold AS (
+          SELECT DISTINCT least(a, b) AS id_1, greatest(a, b) AS id_2 FROM (
+            SELECT 'http://kg.org/a/p' || c_custkey AS a, 'http://kg.org/b/q' || c_custkey AS b
+            FROM customer WHERE c_custkey % 30 = 0
+          )
+        ),
+        judged AS (
+          SELECT r.id_1, r.id_2,
+                 (regexp_extract(r.id_1, '([^/#]*)$', 1) = regexp_extract(r.id_2, '([^/#]*)$', 1)
+                  OR g.id_1 IS NOT NULL) AS ok
+          FROM rel r LEFT JOIN gold g ON r.id_1 = g.id_1 AND r.id_2 = g.id_2
+        ),
+        counts AS (
+          SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN ok THEN 0 ELSE 1 END) AS fp,
+                 (SELECT count(*) FROM gold g
+                  WHERE NOT EXISTS (SELECT 1 FROM rel r WHERE r.id_1 = g.id_1 AND r.id_2 = g.id_2)) AS fn
+          FROM judged
+        )
+        SELECT CAST(coalesce(tp, 0) AS BIGINT) AS tp, CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(coalesce(tp, 0) / greatest(coalesce(tp, 0) + coalesce(fp, 0), 1), 6) AS precision,
+               round(coalesce(tp, 0) / greatest(coalesce(tp, 0) + fn, 1), 6) AS recall,
+               round(2 * coalesce(tp, 0) / greatest(2 * coalesce(tp, 0) + coalesce(fp, 0) + fn, 1), 6) AS f1
+        FROM counts
+    """
+
+    sql["kg_cluster_file_pairs"] = """
+        WITH clusters AS (
+          SELECT ['http://kg.org/cust/' || c_custkey,
+                  'http://kg.org/dupA/' || c_custkey,
+                  'http://kg.org/dupB/' || c_custkey] AS uris
+          FROM customer WHERE c_custkey % 25 = 0
+        ),
+        a AS (SELECT unnest(uris) AS id_1, uris FROM clusters),
+        p AS (SELECT id_1, unnest(uris) AS id_2 FROM a)
+        SELECT DISTINCT id_1, id_2 FROM p WHERE id_1 < id_2
     """
 
     sql["kg_relation_direction"] = f"""

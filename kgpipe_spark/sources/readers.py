@@ -129,3 +129,25 @@ def read_csv_table(spark: SparkSession, path: str, **options) -> DataFrame:
 
 def write_csv_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_cluster_file(spark: SparkSession, path: str, delimiter: str = "\t") -> DataFrame:
+    """verified_matches-style gold file → (uris array<string>) cluster rows.
+
+    Mirrors ``load_matches`` (`/root/reference/src/kgpipe/evaluation/
+    cluster.py:134-175`): per line, TSV two-column rows are pairs, n-column
+    rows are clusters; empty cells dropped; lines whose first row lacks the
+    delimiter fall back to comma. Pair with ``eval.er_eval.cluster_pairs``
+    for the pairwise edge list."""
+    lines = spark.read.text(path)
+    first = lines.limit(1).collect()
+    sep = delimiter if (first and delimiter in first[0]["value"]) else ","
+    return (
+        lines.select(F.split(F.col("value"), sep).alias("raw"))
+        .select(
+            F.filter(
+                F.transform(F.col("raw"), lambda c: F.trim(c)), lambda c: c != ""
+            ).alias("uris")
+        )
+        .filter(F.size("uris") > 0)
+    )

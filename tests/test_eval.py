@@ -186,3 +186,35 @@ def test_ontology_namespace_coverage(spark):
     row = ontology_namespace_coverage(kg, expected).collect()[0]
     # found {a.org/x/, b.org/y/}; expected {a.org/x/, c.org/z/}
     assert (row["tp"], row["fp"], row["fn"]) == (1, 1, 1)
+
+
+def test_cluster_pairs_and_file_reader(spark, tmp_path):
+    from kgpipe_spark.eval.er_eval import cluster_pairs
+    from kgpipe_spark.sources.readers import read_cluster_file
+
+    p = tmp_path / "gold.tsv"
+    p.write_text("a\tb\tc\nx\ty\n\n")
+    clusters = read_cluster_file(spark, str(p))
+    pairs = {(r["id_1"], r["id_2"]) for r in cluster_pairs(clusters).collect()}
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")}
+
+
+def test_evaluate_relation_matching(spark):
+    from kgpipe_spark.eval.er_eval import evaluate_relation_matching
+
+    preds = spark.createDataFrame(
+        [
+            ("ns1/name", "ns2/name", 0.9, "relation"),   # suffix match → tp
+            ("ns1/p", "ns2/q", 0.9, "relation"),         # in gold → tp
+            ("ns1/u", "ns2/v", 0.9, "relation"),         # neither → fp
+            ("ns1/w-", "ns2/w-", 0.9, "relation"),       # '-' suffix → skipped
+            ("ns1/e", "ns2/e", 0.9, "entity"),           # wrong type → skipped
+            ("ns1/lo", "ns2/lo", 0.1, "relation"),       # below threshold
+        ],
+        "id_1 string, id_2 string, score double, id_type string",
+    )
+    gold = spark.createDataFrame(
+        [(["ns1/p", "ns2/q"],), (["ns1/m", "ns2/n"],)], ["uris"]
+    )
+    row = evaluate_relation_matching(preds, gold, threshold=0.5).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
