@@ -721,6 +721,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
+    def _flagship_stats(s, d):
+        from kgpipe_spark.eval.statistics import count_measures
+
+        return count_measures(_flagship(s, d))
+
+    # statistics-level oracle for the flagship: DuckDB re-derives the whole
+    # extract→link→canonicalize→fuse pipeline in closed form (the corpus is
+    # one fixed JSON template per customer, so the pandas-UDF extraction
+    # collapses to per-column md5 minting) and must agree on every count
+    q["kg_flagship_stats"] = _flagship_stats
+
     q.update(_soft_queries())
     q.update(_relational_queries())
     q.update(_doc_queries())
@@ -1076,8 +1087,6 @@ def _doc_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_language_id"] = lambda s, d: language_id(_read(s, d, "documents"))
     q["doc_fingerprint"] = lambda s, d: fingerprint(_read(s, d, "documents"))
 
-    # simhash is Spark-side verified in pytest; rows-only here (bit_count +
-    # conv() have no cheap DuckDB twins)
     q["doc_simhash"] = lambda s, d: simhash_fingerprints(_read(s, d, "documents"))
 
     return q
@@ -1117,6 +1126,27 @@ def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=8)
 
     q["emb_ivf_topk_fullprobe"] = _ivf
+
+    def _ivf_recall(s, d):
+        """Recall of IVF at nprobe=2 of 8 centroids vs brute-force top-10.
+
+        lloyd_steps=0 keeps the centroid set bit-exact cross-engine, so the
+        DuckDB oracle replicates the *entire* IVF (assignment, probing,
+        ranking) rather than just the exact baseline."""
+        emb = _read(s, d, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        ivf = ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=2, lloyd_steps=0)
+        bf = cosine_topk_bruteforce(emb, queries_df, k=10)
+        overlap = ivf.join(bf.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+        return (
+            overlap.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .withColumn("recall", F.col("n_overlap") / F.lit(10.0))
+        )
+
+    q["emb_ivf_recall"] = _ivf_recall
 
     return q
 
@@ -1516,6 +1546,132 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.e AS subject, a.cls AS cls_a, b.cls AS cls_b
         FROM typed a JOIN typed b ON a.e = b.e
         WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
+    """
+
+    _NORM = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
+    sql["kg_flagship_stats"] = f"""
+        WITH src AS (
+          SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        doc AS MATERIALIZED (
+          SELECT *,
+            'http://kg.org/e/' || md5('{{"balance":' || bal || ',"name":"' || c_name
+              || '","nation":{{"name":"' || n_name || '"}},"segment":"' || c_mktsegment || '"}}') AS duri,
+            'http://kg.org/e/' || md5('{{"name":"' || n_name || '"}}') AS nuri
+          FROM src
+        ),
+        extracted AS MATERIALIZED (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT duri AS subject, '{_RT}' AS predicate, 'http://kg.org/onto/EXCDocument' AS object_lex,
+                   'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc
+            UNION ALL SELECT duri, '{_RL}', c_name, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/name', c_name, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/nation', nuri, 'uri', NULL FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/segment', c_mktsegment, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT nuri, '{_RT}', 'http://kg.org/onto/EXCNation', 'uri', NULL FROM doc
+            UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc
+          )
+        ),
+        seed AS MATERIALIZED (
+          SELECT 'http://kg.org/nation/' || n_nationkey AS subject, '{_RT}' AS predicate,
+                 'http://kg.org/onto/Nation' AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype FROM nation
+          UNION ALL
+          SELECT 'http://kg.org/nation/' || n_nationkey, '{_RL}', n_name, 'literal', '{_XS}' FROM nation
+          UNION ALL
+          SELECT 'http://kg.org/nation/' || n_nationkey, 'http://kg.org/prop/region',
+                 'http://kg.org/region/' || n_regionkey, 'uri', NULL FROM nation
+          UNION ALL
+          SELECT 'http://kg.org/region/' || r_regionkey, '{_RT}', 'http://kg.org/onto/Region', 'uri', NULL FROM region
+          UNION ALL
+          SELECT 'http://kg.org/region/' || r_regionkey, '{_RL}', r_name, 'literal', '{_XS}' FROM region
+        ),
+        dict_best AS (
+          SELECT norm, min(uri) AS mapping FROM (
+            SELECT subject AS uri, {_NORM.format(c='object_lex')} AS norm
+            FROM seed WHERE predicate = '{_RL}'
+          ) GROUP BY norm
+        ),
+        lmap AS MATERIALIZED (
+          SELECT entity, min(canonical) AS canonical FROM (
+            SELECT e.subject AS entity, db.mapping AS canonical
+            FROM (SELECT subject, object_lex FROM extracted WHERE predicate = '{_RL}') e
+            JOIN dict_best db ON {_NORM.format(c='e.object_lex')} = db.norm
+            WHERE db.mapping <> e.subject
+          ) GROUP BY entity
+        ),
+        label_pairs AS (
+          SELECT DISTINCT coalesce(m.canonical, e.subject) AS subject,
+                 {_NORM.format(c='e.object_lex')} AS norm
+          FROM (SELECT subject, object_lex FROM extracted WHERE predicate = '{_RL}') e
+          LEFT JOIN lmap m ON e.subject = m.entity
+        ),
+        canon AS (
+          -- star-edge CC: each same-norm group collapses to its min subject
+          -- (groups are disjoint here: every extracted entity has one label)
+          SELECT subject AS entity, min_s AS canonical FROM (
+            SELECT subject, min(subject) OVER (PARTITION BY norm) AS min_s,
+                   count(*) OVER (PARTITION BY norm) AS grp_n
+            FROM label_pairs
+          ) WHERE grp_n > 1 AND subject <> min_s
+        ),
+        composed AS MATERIALIZED (
+          SELECT entity, canonical FROM (
+            SELECT l.entity, coalesce(c.canonical, l.canonical) AS canonical
+            FROM lmap l LEFT JOIN canon c ON l.canonical = c.entity
+            UNION ALL
+            SELECT c.entity, c.canonical FROM canon c
+            WHERE NOT EXISTS (SELECT 1 FROM lmap l WHERE l.entity = c.entity)
+          ) WHERE entity <> canonical
+        ),
+        canonical_kg AS MATERIALIZED (
+          SELECT coalesce(ms.canonical, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(mo.canonical, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind, t.object_datatype
+          FROM extracted t
+          LEFT JOIN composed ms ON t.subject = ms.entity
+          LEFT JOIN composed mo ON t.object_kind = 'uri' AND t.object_lex = mo.entity
+        ),
+        fusable(predicate) AS (VALUES ('{_RL}'), ('{_RT}'),
+          ('http://kg.org/prop/director'), ('http://kg.org/prop/directed_by')),
+        src_fusable AS (SELECT * FROM canonical_kg WHERE predicate IN (SELECT predicate FROM fusable)),
+        src_rest AS (SELECT * FROM canonical_kg WHERE predicate NOT IN (SELECT predicate FROM fusable)),
+        seed_sp AS (SELECT DISTINCT subject, predicate FROM seed),
+        new_fusable AS (
+          SELECT f.* FROM src_fusable f ANTI JOIN seed_sp sp USING (subject, predicate)
+        ),
+        first_vals AS (
+          SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
+            ) AS rn FROM new_fusable
+          ) WHERE rn = 1
+        ),
+        new_rest AS (
+          SELECT r.* FROM src_rest r
+          ANTI JOIN (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM seed) s
+            USING (subject, predicate, object_lex, object_kind)
+        ),
+        completed AS MATERIALIZED (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind FROM (
+            SELECT * FROM seed UNION ALL SELECT * FROM first_vals UNION ALL SELECT * FROM new_rest
+          )
+        ),
+        ents AS (
+          SELECT subject AS e FROM completed
+          UNION
+          SELECT object_lex FROM completed WHERE object_kind = 'uri'
+        )
+        SELECT CAST((SELECT count(*) FROM completed) AS BIGINT) AS n_triples,
+               CAST((SELECT count(*) FROM ents) AS BIGINT) AS n_entities,
+               CAST((SELECT count(DISTINCT predicate) FROM completed) AS BIGINT) AS n_relations,
+               CAST((SELECT count(DISTINCT subject) FROM completed) AS BIGINT) AS n_subjects,
+               CAST((SELECT count(DISTINCT object_lex) FROM completed WHERE predicate = '{_RT}') AS BIGINT) AS n_classes
     """
 
     sql["kg_er_relation_eval"] = """
@@ -2285,6 +2441,32 @@ def _doc_sql() -> dict[str, str]:
         FROM words
     """
 
+    sql["doc_simhash"] = """
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                             w -> w <> '') AS w
+          FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+        ),
+        th AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS th
+          FROM toks
+        ),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (th >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """
+
     return sql
 
 
@@ -2312,6 +2494,68 @@ def _emb_sql() -> dict[str, str]:
 
     # full-probe IVF == exact top-k (nprobe = n_centroids ⇒ every cell searched)
     sql["emb_ivf_topk_fullprobe"] = sql["emb_cosine_topk"]
+
+    # full IVF replica: same sample centroids (lloyd_steps=0), same
+    # sequential squared-diff fold for assignment, same probe/rank order
+    sql["emb_ivf_recall"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        cents AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        assign AS MATERIALIZED (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
+                                                      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) ASC,
+                              c.cid ASC
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        probe AS MATERIALIZED (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.q_id
+                     ORDER BY list_sum(list_transform(generate_series(1, len(q.qv)),
+                                                      i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) ASC,
+                              c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+          ) WHERE rn <= 2
+        ),
+        ivf AS MATERIALIZED (
+          SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+                   row_number() OVER (
+                     PARTITION BY p.q_id
+                     ORDER BY list_dot_product(a.v, p.qv)
+                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))) DESC,
+                              a.vec_id ASC
+                   ) AS rank
+            FROM assign a JOIN probe p USING (cid)
+          ) WHERE rank <= 10
+        ),
+        bf AS MATERIALIZED (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.q_id
+                     ORDER BY list_dot_product(e.v, q.qv)
+                              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                              e.vec_id ASC
+                   ) AS rank
+            FROM e CROSS JOIN q
+          ) WHERE rank <= 10
+        )
+        SELECT i.q_id, CAST(count(*) AS BIGINT) AS n_overlap, count(*) / 10.0 AS recall
+        FROM ivf i SEMI JOIN bf b ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+        GROUP BY i.q_id
+    """
 
     sql["emb_bucketed_near_dup"] = """
         WITH e AS (SELECT vec_id, label AS bucket, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -111,14 +111,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    lloyd_steps: int = 1,
 ) -> DataFrame:
     """Approximate top-k: centroid-partitioned search (IVF).
 
-    Centroids = deterministic sample (first n_centroids by id) refined with
-    one Lloyd step computed distributively (groupBy mean). Each vector is
-    assigned to its nearest centroid; each query probes its ``nprobe``
-    nearest centroid partitions. Recall < 1.0 by design; the brute-force
-    operator is the exactness baseline.
+    Centroids = deterministic sample (first n_centroids by id), optionally
+    refined with one Lloyd step computed distributively (groupBy mean). Each
+    vector is assigned to its nearest centroid; each query probes its
+    ``nprobe`` nearest centroid partitions. Recall < 1.0 by design; the
+    brute-force operator is the exactness baseline.
+
+    ``lloyd_steps=0`` keeps the raw sample centroids — fully bit-exact
+    cross-engine (no float means whose summation order varies with the
+    shuffle), which is what the driver-gated recall query uses.
     """
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -126,18 +131,21 @@ def ivf_topk(
     dim = len(e.select("v").first()[0])
 
     init = [r["v"] for r in e.orderBy("vec_id").limit(n_centroids).collect()]
-    assign = _assign_nearest(e, init)
-    means = (
-        assign.select("cid", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-        .collect()
-    )
-    centroids = {r["cid"]: r["centroid"] for r in means}
-    cent_list = [centroids.get(i, init[i % len(init)]) for i in sorted(centroids)]
+    if lloyd_steps > 0:
+        assign = _assign_nearest(e, init)
+        means = (
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        centroids = {r["cid"]: r["centroid"] for r in means}
+        cent_list = [centroids.get(i, init[i % len(init)]) for i in sorted(centroids)]
+    else:
+        cent_list = init
 
     assigned = _assign_nearest(e, cent_list).select("vec_id", "v", "cid")
 

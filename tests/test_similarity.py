@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kgpipe_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -47,3 +48,19 @@ def test_hyperplane_buckets_deterministic(spark, emb):
     b2 = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(df, n_planes=6).collect()}
     assert b1 == b2
     assert len(set(b1.values())) > 1
+
+
+def test_ivf_recall_at_partial_probe(spark):
+    """IVF at nprobe=2/8 with raw sample centroids must keep recall high on
+    the driver's embeddings table (round-1 verdict #10)."""
+    from kgpipe_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ivf = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2, lloyd_steps=0)
+    bf = cosine_topk_bruteforce(emb, q, k=10)
+    overlap = ivf.join(bf.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi").count()
+    total = bf.count()
+    assert overlap / total >= 0.5  # partial probe keeps at least half the hits
