@@ -721,6 +721,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
+    def _te_from_json(s, d):
+        from kgpipe_spark.operators.te_construct import construct_te_document_from_json
+
+        cust = _read(s, d, "customer")
+        nation = _read(s, d, "nation")
+        corpus = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            F.lit("org/tpch").alias("repo"),
+            F.concat(F.lit("cust/"), F.col("c_custkey").cast("string"), F.lit(".json")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("json").alias("lang"),
+            F.to_json(
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.struct(F.col("n_name").alias("name")).alias("nation"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_acctbal").alias("balance"),
+                )
+            ).alias("content"),
+        )
+        te = construct_te_document_from_json(corpus)
+        return te.select("doc_id", F.explode("triples").alias("t")).select(
+            "doc_id",
+            F.col("t.subject.surface_form").alias("s_surface"),
+            F.col("t.subject.mapping").alias("s_mapping"),
+            F.col("t.predicate.surface_form").alias("p_surface"),
+            F.col("t.object.surface_form").alias("o_surface"),
+            F.col("t.object.mapping").alias("o_mapping"),
+        )
+
+    q["kg_te_from_json"] = _te_from_json
+
     def _flagship_stats(s, d):
         from kgpipe_spark.eval.statistics import count_measures
 
@@ -1546,6 +1577,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.e AS subject, a.cls AS cls_a, b.cls AS cls_b
         FROM typed a JOIN typed b ON a.e = b.e
         WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
+    """
+
+    sql["kg_te_from_json"] = """
+        WITH src AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS doc_id, c_name, c_mktsegment,
+                 CAST(c_acctbal AS VARCHAR) AS bal, n_name,
+                 'http://kg.org/json/' || c_custkey AS duri,
+                 'http://example.org/' || sha256('{"name": "' || n_name || '"}') AS nuri
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        t AS (
+          SELECT doc_id, duri AS s_surface, 'name' AS p_surface, c_name AS o_surface, FALSE AS o_http FROM src
+          UNION ALL
+          SELECT doc_id, duri, 'nation', nuri, TRUE FROM src
+          UNION ALL
+          SELECT doc_id, nuri, 'name', n_name, FALSE FROM src
+          UNION ALL
+          SELECT doc_id, duri, 'segment', c_mktsegment, FALSE FROM src
+          UNION ALL
+          SELECT doc_id, duri, 'balance', bal, FALSE FROM src
+        )
+        SELECT doc_id, s_surface, s_surface AS s_mapping, p_surface, o_surface,
+               CASE WHEN o_http THEN o_surface ELSE NULL END AS o_mapping
+        FROM t
     """
 
     _NORM = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"

@@ -257,3 +257,184 @@ def te_documents_to_triples(
         .unionByName(obj_labels)
         .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON → TE_Document producer (the missing half of the TE loop)
+# ---------------------------------------------------------------------------
+
+
+def construct_te_document_from_json(
+    corpus: DataFrame,
+    doc_ns: str = KG_NS + "json/",
+    mint_ns: str = "http://example.org/",
+) -> DataFrame:
+    """JSON-lang blobs → TE_Documents.
+
+    Mirrors ``construct_te_document_from_json`` /
+    ``__extract_data_filenameUri``
+    (`/root/reference/src/kgpipe_tasks/construction/json_processing.py:74-127,
+    303-310`): the document subject is ``<doc_ns><filename-stem>``, nested
+    dicts mint ``<mint_ns>sha256(json.dumps(obj, sort_keys=True))``, lists
+    recurse with the parent key, primitives attach to the parent subject.
+    Span fields follow json_processing.py:84-100: http-prefixed surfaces get
+    ``mapping``, others get ``text``; start=0, end=len(surface).
+
+    Arrow-batched pandas UDF (one Python pass per blob, no per-row UDF).
+    """
+    import hashlib
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType
+
+    from kgpipe_spark.schemas import TE_TRIPLE
+
+    def _subject(data) -> str:
+        payload = json.dumps(data, sort_keys=True)
+        return mint_ns + hashlib.sha256(payload.encode()).hexdigest()
+
+    def _extract(data, parent_key, parent_subject, out):
+        if isinstance(data, dict):
+            subject = _subject(data)
+            if parent_subject:
+                out.append((parent_subject, parent_key, subject))
+            for key, value in data.items():
+                _extract(value, key, subject, out)
+        elif isinstance(data, list):
+            for item in data:
+                _extract(item, parent_key, parent_subject, out)
+        else:
+            out.append((parent_subject, parent_key, data))
+
+    def _span(v) -> dict:
+        s = str(v)
+        http = s.startswith("http")
+        return {
+            "start": 0,
+            "end": len(s),
+            "surface_form": s,
+            "text": None if http else s,
+            "mapping": s if http else None,
+        }
+
+    def _extract_te(doc_ids, contents):
+        results = []
+        for doc_id, content in zip(doc_ids, contents):
+            triplets: list = []
+            try:
+                obj = json.loads(content)
+                if isinstance(obj, dict):
+                    # top level: keys attach to the filename URI directly
+                    for key, value in obj.items():
+                        _extract(value, key, doc_ns + doc_id, triplets)
+                elif isinstance(obj, list):
+                    _extract(obj, None, doc_ns + doc_id, triplets)
+            except (ValueError, TypeError):
+                pass
+            results.append(
+                [
+                    {"subject": _span(s), "predicate": _span(p), "object": _span(o)}
+                    for s, p, o in triplets
+                ]
+            )
+        return pd.Series(results)
+
+    extract_te = F.pandas_udf(_extract_te, ArrayType(TE_TRIPLE))  # type: ignore[call-overload]
+
+    stem = F.regexp_replace(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+    )
+    return (
+        corpus.filter(F.col("lang") == "json")
+        .select(stem.alias("doc_id"), F.col("content"))
+        .select(
+            "doc_id",
+            F.lit("").alias("text"),
+            extract_te(F.col("doc_id"), F.col("content")).alias("triples"),
+            F.array().cast("array<struct<main:string,aliases:array<struct<start:int,end:int,surface_form:string,text:string,mapping:string>>>>").alias("chains"),
+            F.array().cast("array<struct<span:string,mapping:string,link_type:string,score:double>>").alias("links"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# relation linker over predicate surfaces (label + alias embedding)
+# ---------------------------------------------------------------------------
+
+
+def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFrame:
+    """Link each distinct predicate surface to its best ontology property and
+    append the matches as ``link_type='predicate'`` TE_Pairs.
+
+    Mirrors ``AliasAndTransformerBasedRelationLinker`` / 
+    ``label_alias_embedding_rl``
+    (`/root/reference/src/kgpipe_tasks/text_processing/relation_match.py:35-134`):
+    property text = ``label: <norm label>; altLabels: <norm aliases>``,
+    cosine top-1 per extracted relation surface (every top-1 is linked, as in
+    the reference — thresholding happens downstream at TE finalization).
+    Embeddings are the engine-symmetric hashed-gram cosine
+    (``eval.soft.cosine_pairs``) — JVM-side, blocked, no driver collect.
+    """
+    from pyspark.sql.window import Window
+
+    from kgpipe_spark.eval.soft import cosine_pairs
+
+    surfaces = (
+        te_docs.select("doc_id", F.explode("triples").alias("t"))
+        .select("doc_id", F.col("t.predicate.surface_form").alias("span"))
+        .filter(F.col("span").isNotNull())
+        .distinct()
+    )
+    prop_text = F.concat(
+        F.lit("label: "),
+        normalize_label(F.col("label")),
+        F.lit("; altLabels: "),
+        F.array_join(
+            F.transform(F.coalesce(F.col("aliases"), F.array()), normalize_label),
+            ", ",
+        ),
+    )
+    props = ontology.select(F.col("uri").alias("id"), prop_text.alias("text"))
+    mentions = surfaces.select(F.col("span").alias("id")).distinct().withColumn(
+        "text", normalize_label(F.col("id"))
+    )
+    pairs = cosine_pairs(mentions, props)
+    best = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("lid").alias("span"), F.col("rid").alias("mapping"), F.col("cos").alias("score"))
+    )
+    doc_links = (
+        surfaces.join(F.broadcast(best), "span")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span"),
+                    F.col("mapping"),
+                    F.lit("predicate").alias("link_type"),
+                    F.col("score"),
+                )
+            ).alias("_new_links")
+        )
+    )
+    return (
+        te_docs.join(doc_links, "doc_id", "left")
+        .withColumn(
+            "links",
+            F.concat(
+                F.coalesce(F.col("links"), F.array()),
+                F.coalesce(
+                    F.col("_new_links"),
+                    F.array().cast(
+                        "array<struct<span:string,mapping:string,link_type:string,score:double>>"
+                    ),
+                ),
+            ),
+        )
+        .drop("_new_links")
+    )

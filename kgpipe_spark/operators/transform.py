@@ -151,3 +151,65 @@ def remove_empty_literals(triples: DataFrame) -> DataFrame:
     return triples.filter(
         ~((F.col("object_kind") == "literal") & (F.length(F.trim(F.coalesce("object_lex", F.lit("")))) == 0))
     )
+
+
+def extract_ontology_from_rdf(triples: DataFrame) -> DataFrame:
+    """RDF triples → the ontology dimension table (uri, label, aliases,
+    domain, range, is_object_prop, max_cardinality).
+
+    Implements the intent of ``extract_ontology_from_rdf``
+    (`/root/reference/src/kgpipe_tasks/transform/ontology_rdf_filter.py:1-14`
+    — shipped as a ``pass`` stub there): properties are subjects of
+    rdfs:domain / rdfs:range declarations; label from rdfs:label, aliases
+    from skos:altLabel; is_object_prop derived from whether the declared
+    range is an xsd datatype; max_cardinality from owl:maxCardinality when
+    present.
+    """
+    from kgpipe_spark.schemas import RDFS_LABEL, SKOS_ALT_LABEL
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    OWL = "http://www.w3.org/2002/07/owl#"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+
+    def obj_of(pred):
+        return triples.filter(F.col("predicate") == pred).select(
+            F.col("subject").alias("uri"), F.col("object_lex").alias("v")
+        )
+
+    dom = obj_of(RDFS + "domain").withColumnRenamed("v", "domain")
+    rng = obj_of(RDFS + "range").withColumnRenamed("v", "range")
+    lab = (
+        obj_of(RDFS_LABEL)
+        .groupBy("uri")
+        .agg(F.min("v").alias("label"))
+    )
+    alias = (
+        obj_of(SKOS_ALT_LABEL)
+        .groupBy("uri")
+        .agg(F.array_sort(F.collect_set("v")).alias("aliases"))
+    )
+    card = (
+        obj_of(OWL + "maxCardinality")
+        .groupBy("uri")
+        .agg(F.min(F.col("v").cast("int")).alias("max_cardinality"))
+    )
+    props = dom.join(rng, "uri", "full_outer")
+    return (
+        props.join(lab, "uri", "left")
+        .join(alias, "uri", "left")
+        .join(card, "uri", "left")
+        .select(
+            "uri",
+            F.coalesce(
+                "label", F.regexp_extract(F.col("uri"), r"([^/#:]*)$", 1)
+            ).alias("label"),
+            "aliases",
+            "domain",
+            "range",
+            F.when(F.col("range").isNull(), F.lit(None).cast("string"))
+            .when(F.col("range").startswith(XSD), F.lit("false"))
+            .otherwise(F.lit("true"))
+            .alias("is_object_prop"),
+            "max_cardinality",
+        )
+    )

@@ -76,3 +76,62 @@ def test_aggregate_te_documents(spark):
     assert len(agg) == 1
     assert len(agg[0]["triples"]) == 4  # concatenated
     assert len(agg[0]["chains"]) == 4
+
+
+def test_construct_te_document_from_json(spark):
+    """json_processing.py:74-127 semantics: filename URI subject, sha256
+    minting for nested dicts, mapping-vs-text span fields."""
+    import hashlib
+    import json as pyjson
+
+    from kgpipe_spark.operators.te_construct import construct_te_document_from_json
+
+    corpus = spark.createDataFrame(
+        [("r", "dir/movie1.json", "c", "json",
+          '{"name": "Heat", "director": {"name": "Mann"}, "year": 1995}')],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    docs = construct_te_document_from_json(corpus).collect()
+    assert len(docs) == 1 and docs[0]["doc_id"] == "movie1"
+    t = {
+        (r["subject"]["surface_form"], r["predicate"]["surface_form"], r["object"]["surface_form"])
+        for r in docs[0]["triples"]
+    }
+    duri = "http://kg.org/json/movie1"
+    nested = "http://example.org/" + hashlib.sha256(
+        pyjson.dumps({"name": "Mann"}, sort_keys=True).encode()
+    ).hexdigest()
+    assert t == {
+        (duri, "name", "Heat"),
+        (duri, "director", nested),
+        (nested, "name", "Mann"),
+        (duri, "year", "1995"),
+    }
+    # span fields: http surfaces carry mapping, others carry text
+    by_obj = {r["object"]["surface_form"]: r["object"] for r in docs[0]["triples"]}
+    assert by_obj[nested]["mapping"] == nested and by_obj[nested]["text"] is None
+    assert by_obj["Heat"]["text"] == "Heat" and by_obj["Heat"]["mapping"] is None
+
+
+def test_label_alias_embedding_rl(spark):
+    from kgpipe_spark.operators.te_construct import (
+        construct_te_document_from_json,
+        label_alias_embedding_rl,
+    )
+
+    corpus = spark.createDataFrame(
+        [("r", "m.json", "c", "json", '{"directed_by": "X", "totally_unrelated_key": "Y"}')],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    te = construct_te_document_from_json(corpus)
+    onto = spark.createDataFrame(
+        [("http://kg.org/prop/director", "directed by", ["director of"], None, None, "true", 1)],
+        "uri string, label string, aliases array<string>, domain string, range string,"
+        " is_object_prop string, max_cardinality int",
+    )
+    out = label_alias_embedding_rl(te, onto).collect()[0]
+    links = {(p["span"], p["mapping"]) for p in out["links"]}
+    # every surface gets its top-1 (reference links all, thresholds downstream)
+    assert ("directed_by", "http://kg.org/prop/director") in links
+    scores = {p["span"]: p["score"] for p in out["links"]}
+    assert scores["directed_by"] > scores.get("totally_unrelated_key", 0.0)

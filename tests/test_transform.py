@@ -65,3 +65,28 @@ def test_ntriples_roundtrip(spark):
 def test_remove_empty_literals(spark):
     triples = t(spark, [("s", "p", "  ", "literal", None), ("s", "p", "x", "literal", None)])
     assert remove_empty_literals(triples).count() == 1
+
+
+def test_extract_ontology_from_rdf(spark):
+    from kgpipe_spark.operators.transform import extract_ontology_from_rdf
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    OWL = "http://www.w3.org/2002/07/owl#"
+    rows = [
+        ("p:director", RDFS + "domain", "o:Film", "uri", None),
+        ("p:director", RDFS + "range", "o:Person", "uri", None),
+        ("p:director", "http://www.w3.org/2000/01/rdf-schema#label", "director", "literal", None),
+        ("p:director", OWL + "maxCardinality", "1", "literal", None),
+        ("p:year", RDFS + "range", "http://www.w3.org/2001/XMLSchema#gYear", "uri", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_lex string, object_kind string,"
+        " object_datatype string",
+    )
+    out = {r["uri"]: r for r in extract_ontology_from_rdf(df).collect()}
+    d = out["p:director"]
+    assert (d["label"], d["domain"], d["range"], d["is_object_prop"], d["max_cardinality"]) == (
+        "director", "o:Film", "o:Person", "true", 1)
+    y = out["p:year"]
+    assert (y["label"], y["is_object_prop"]) == ("year", "false")
