@@ -721,6 +721,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship end-to-end (no SQL oracle — iterative/UDF pipeline)
     q["kg_flagship_pipeline"] = lambda s, d: _flagship(s, d)
 
+    def _te_expected_links(s, d):
+        from kgpipe_spark.eval.te_eval import evaluate_expected_entity_links
+
+        cust = _read(s, d, "customer")
+        k = F.col("c_custkey")
+        te_docs = cust.select(
+            k.cast("string").alias("doc_id"),
+            F.lit("").alias("text"),
+            F.array().cast(
+                "array<struct<subject:struct<start:int,end:int,surface_form:string,text:string,mapping:string>,"
+                "predicate:struct<start:int,end:int,surface_form:string,text:string,mapping:string>,"
+                "object:struct<start:int,end:int,surface_form:string,text:string,mapping:string>>>"
+            ).alias("triples"),
+            F.array(
+                F.struct(
+                    F.lit("s").alias("span"),
+                    F.concat(F.lit(CUST), k.cast("string")).alias("mapping"),
+                    F.lit("entity").alias("link_type"),
+                    # k%3==0 links score 0.4 (below threshold)
+                    F.when(k % 3 == 0, F.lit(0.4)).otherwise(F.lit(0.9)).alias("score"),
+                )
+            ).alias("links"),
+        )
+        # expected: even custkeys expect their own uri, k%5==0 expect a second
+        # unreachable id (stays missing)
+        exp1 = cust.filter(k % 2 == 0).select(
+            k.cast("string").alias("doc_id"),
+            F.concat(F.lit(CUST), k.cast("string")).alias("entity_id"),
+        )
+        exp2 = cust.filter(k % 5 == 0).select(
+            k.cast("string").alias("doc_id"),
+            F.concat(F.lit(KG_NS + "ghost/"), k.cast("string")).alias("entity_id"),
+        )
+        return evaluate_expected_entity_links(te_docs, exp1.unionByName(exp2), threshold=0.5)
+
+    q["kg_te_expected_links"] = _te_expected_links
+
     def _te_from_json(s, d):
         from kgpipe_spark.operators.te_construct import construct_te_document_from_json
 
@@ -1577,6 +1614,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.e AS subject, a.cls AS cls_a, b.cls AS cls_b
         FROM typed a JOIN typed b ON a.e = b.e
         WHERE a.cls = 'http://kg.org/onto/Customer' AND b.cls = 'http://kg.org/onto/Supplier'
+    """
+
+    sql["kg_te_expected_links"] = """
+        WITH links AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                 'http://kg.org/cust/' || c_custkey AS mapping,
+                 CASE WHEN c_custkey % 3 = 0 THEN 0.4 ELSE 0.9 END AS score
+          FROM customer
+        ),
+        exp AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                 'http://kg.org/cust/' || c_custkey AS entity_id
+          FROM customer WHERE c_custkey % 2 = 0
+          UNION ALL
+          SELECT CAST(c_custkey AS VARCHAR), 'http://kg.org/ghost/' || c_custkey
+          FROM customer WHERE c_custkey % 5 = 0
+        ),
+        qlinks AS (SELECT doc_id, mapping FROM links WHERE score > 0.5),
+        true_per_doc AS (
+          SELECT l.doc_id, count(*) AS n_true
+          FROM qlinks l JOIN exp e ON l.doc_id = e.doc_id AND l.mapping = e.entity_id
+          GROUP BY l.doc_id
+        ),
+        exp_per_doc AS (
+          SELECT e.doc_id, count(*) AS n_exp FROM exp e
+          WHERE EXISTS (SELECT 1 FROM links t WHERE t.doc_id = e.doc_id)
+          GROUP BY e.doc_id
+        ),
+        per_doc AS (
+          SELECT coalesce(t.n_true, 0) AS n_true, x.n_exp - coalesce(t.n_true, 0) AS n_missing
+          FROM exp_per_doc x LEFT JOIN true_per_doc t USING (doc_id)
+        ),
+        agg AS (SELECT sum(n_true) AS t, sum(n_missing) AS fm FROM per_doc)
+        SELECT CAST(coalesce(t, 0) AS BIGINT) AS true_link_cnt,
+               CAST(coalesce(fm, 0) AS BIGINT) AS false_missing_link_cnt,
+               round(coalesce(t, 0) / greatest(coalesce(t, 0) + coalesce(fm, 0), 1), 6) AS score
+        FROM agg
     """
 
     sql["kg_te_from_json"] = """

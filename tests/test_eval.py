@@ -218,3 +218,25 @@ def test_evaluate_relation_matching(spark):
     )
     row = evaluate_relation_matching(preds, gold, threshold=0.5).collect()[0]
     assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
+
+
+def test_evaluate_expected_links(spark):
+    from kgpipe_spark.eval.te_eval import evaluate_expected_entity_links
+
+    te = spark.createDataFrame(
+        [
+            ("d1", [("x", "e:1", "entity", 0.9), ("x", "e:9", "entity", 0.9),
+                     ("x", "e:2", "entity", 0.3)]),
+            ("d2", [("x", "e:3", "relation", 0.9)]),  # wrong type
+            ("d3", []),                                # no expected entry → skipped
+        ],
+        "doc_id string, links array<struct<span:string,mapping:string,link_type:string,score:double>>",
+    )
+    exp = spark.createDataFrame(
+        [("d1", "e:1"), ("d1", "e:2"), ("d2", "e:3"), ("d9", "e:9")],
+        "doc_id string, entity_id string",
+    )
+    row = evaluate_expected_entity_links(te, exp, threshold=0.5).collect()[0]
+    # d1: links e:1 (hit), e:9 (miss-mapping), e:2 below threshold → 1 true, 1 missing
+    # d2: relation link doesn't count → 0 true, 1 missing; d9 absent from te → skipped
+    assert (row["true_link_cnt"], row["false_missing_link_cnt"]) == (1, 2)
