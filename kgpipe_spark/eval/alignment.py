@@ -22,12 +22,23 @@ def subtract_kg(triples: DataFrame, seed: DataFrame) -> DataFrame:
 
 
 def fact_alignment(actual: DataFrame, expected: DataFrame) -> DataFrame:
-    """One-row DataFrame: tp, fp, fn, precision, recall, f1 (rounded 6dp)."""
-    a = actual.select(*_KEY).distinct()
-    e = expected.select(*_KEY).distinct()
-    tp = a.join(e, _KEY, "left_semi").count()
-    fp = a.join(e, _KEY, "left_anti").count()
-    fn = e.join(a, _KEY, "left_anti").count()
+    """One-row DataFrame: tp, fp, fn, precision, recall, f1 (rounded 6dp).
+
+    ONE job: full-outer join on the triple key + a single aggregation
+    (round 1 fired three independent count jobs, each re-deriving both
+    inputs — the slowest non-UDF query in BENCH_r01)."""
+    a = actual.select(*_KEY).distinct().withColumn("_a", F.lit(1))
+    e = expected.select(*_KEY).distinct().withColumn("_e", F.lit(1))
+    row = (
+        a.join(e, _KEY, "full_outer")
+        .agg(
+            F.sum(F.when(F.col("_a").isNotNull() & F.col("_e").isNotNull(), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("_a").isNotNull() & F.col("_e").isNull(), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(F.col("_a").isNull() & F.col("_e").isNotNull(), 1).otherwise(0)).alias("fn"),
+        )
+        .collect()[0]
+    )
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
     precision = tp / (tp + fp) if (tp + fp) else 0.0
     recall = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0

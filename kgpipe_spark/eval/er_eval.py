@@ -31,9 +31,18 @@ def evaluate_matching(predicted: DataFrame, gold_clusters: DataFrame) -> DataFra
         F.least("id_1", "id_2").alias("id_1"), F.greatest("id_1", "id_2").alias("id_2")
     ).distinct()
 
-    tp = pred_pairs.join(gold_pairs, ["id_1", "id_2"], "left_semi").count()
-    fp = pred_pairs.join(gold_pairs, ["id_1", "id_2"], "left_anti").count()
-    fn = gold_pairs.join(pred_pairs, ["id_1", "id_2"], "left_anti").count()
+    # ONE job: full-outer + single agg instead of three count jobs
+    row = (
+        pred_pairs.withColumn("_p", F.lit(1))
+        .join(gold_pairs.withColumn("_g", F.lit(1)), ["id_1", "id_2"], "full_outer")
+        .agg(
+            F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(F.col("_p").isNull() & F.col("_g").isNotNull(), 1).otherwise(0)).alias("fn"),
+        )
+        .collect()[0]
+    )
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
     precision = tp / (tp + fp) if (tp + fp) else 0.0
     recall = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0

@@ -120,33 +120,57 @@ def fuse_first_value(
     non-fusable props: add source triple only if absent from seed
       → left_anti on (s,p,o).
     Result = seed ∪ surviving source triples, deduped.
+
+    SHUFFLE PLAN (the 100 TB-critical part): the source KG crosses exactly
+    ONE exchange — ``repartition(subject, predicate)``. Every downstream
+    step is partition-local because HashPartitioning(s, p) satisfies the
+    clustering of every later grouping: the 4-col dedupe-aggregate
+    (groupBy s,p,o,kind), the fusable first-value pick (groupBy s,p), and
+    the predicate splits (broadcast semi/anti). Spark reuses the single
+    exchange across the fusable/rest branches (ReusedExchange), so the
+    round-1 plan's three full-KG shuffles (pre-dedupe, pick, final
+    dropDuplicates) collapse into one.
+
+    Output datatypes are pinned deterministically (the old dropDuplicates
+    kept an arbitrary row): rest triples carry min(object_datatype) per
+    (s,p,o,kind) — exactly the oracle's final ``min(object_datatype)``
+    GROUP BY — and fusable picks carry the datatype of the minimum
+    stable-hash row, which is the same row the oracle's ``row_number``
+    ordered by sha256(lex,kind,datatype) selects.
     """
     tcols = TRIPLE_COLS
     seed_t = seed.select(*tcols)
     src_t = source.select(*tcols)
 
-    src_fusable = src_t.join(F.broadcast(fusable), "predicate", "left_semi")
-    src_rest = src_t.join(F.broadcast(fusable), "predicate", "left_anti")
-
-    seed_sp = seed_t.select("subject", "predicate").distinct()
-    new_fusable = src_fusable.join(seed_sp, ["subject", "predicate"], "left_anti")
-    # "first" value per (s,p) = min stable-hash — expressed as min(struct)
-    # aggregation rather than a window so Spark does MAP-SIDE partial
-    # aggregation: the shuffle carries one candidate per (s,p,partition)
-    # instead of every source triple (same result as row_number()==1 ordered
-    # by the hash; struct comparison is field-lexicographic, key first)
     key = stable_order_key(
         F.col("object_lex"), F.col("object_kind"), F.col("object_datatype")
     )
+    # ONE exchange; dedupe + both downstream groupings are partition-local
+    g = (
+        src_t.repartition("subject", "predicate")
+        .groupBy("subject", "predicate", "object_lex", "object_kind")
+        .agg(
+            F.min(F.struct(key.alias("k"), F.col("object_datatype"))).alias("pick"),
+            F.min("object_datatype").alias("dt_min"),
+        )
+    )
+
+    gf = g.join(F.broadcast(fusable), "predicate", "left_semi")
+    gr = g.join(F.broadcast(fusable), "predicate", "left_anti")
+
+    seed_sp = seed_t.select("subject", "predicate").distinct()
+    new_fusable = gf.join(seed_sp, ["subject", "predicate"], "left_anti")
+    # "first" = min stable-hash; min over per-(s,p,o,k) minima equals the
+    # global min over raw rows, so this matches the pre-dedupe semantics
     first_vals = (
         new_fusable.groupBy("subject", "predicate")
         .agg(
             F.min(
                 F.struct(
-                    key.alias("k"),
+                    F.col("pick.k").alias("k"),
                     F.col("object_lex"),
                     F.col("object_kind"),
-                    F.col("object_datatype"),
+                    F.col("pick.object_datatype").alias("object_datatype"),
                 )
             ).alias("m")
         )
@@ -159,15 +183,21 @@ def fuse_first_value(
         )
     )
 
-    new_rest = src_rest.join(
+    new_rest = gr.select(
+        "subject", "predicate", "object_lex", "object_kind",
+        F.col("dt_min").alias("object_datatype"),
+    ).join(
         seed_t, ["subject", "predicate", "object_lex", "object_kind"], "left_anti"
     )
 
-    return (
-        seed_t.unionByName(first_vals)
-        .unionByName(new_rest)
-        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+    # seed-internal dedupe only (branches are disjoint from seed by
+    # construction); min(datatype) mirrors the oracle's final GROUP BY
+    seed_d = (
+        seed_t.groupBy("subject", "predicate", "object_lex", "object_kind")
+        .agg(F.min("object_datatype").alias("object_datatype"))
+        .select(*tcols)
     )
+    return seed_d.unionByName(first_vals).unionByName(new_rest)
 
 
 def fuse_union(seed: DataFrame, source: DataFrame) -> DataFrame:

@@ -32,7 +32,7 @@ from kgpipe_spark.operators.linking import (
 from kgpipe_spark.operators.transform import remove_empty_literals, type_inference_simple
 from kgpipe_spark.functions.hashing import mint_uri_sha256
 from kgpipe_spark.functions.strings import normalize_label
-from kgpipe_spark.schemas import KG_NS, RDFS_LABEL, TRIPLE_COLS, XSD_STRING
+from kgpipe_spark.schemas import KG_NS, RDF_TYPE, RDFS_LABEL, TRIPLE_COLS, XSD_STRING
 
 
 def text_surface_to_triples(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
@@ -144,7 +144,15 @@ def run_flagship(
     Returns the fused triples table (with the seed folded in).
     """
     npart = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    corpus = salted_repartition(corpus, npart)
+    # map-partition count is sized by DATA, not by cores: the extraction
+    # stage ends in the dedupe's partial hash-aggregation, whose per-task
+    # hash map must fit in (execution memory / concurrent tasks). With
+    # core-count partitions the map grows ~2M string entries and SPILLS at
+    # high parallelism while fitting at low — measured NEGATIVE shuffle
+    # scaling (80s@2cores vs 58s@8). 4-6× defaultParallelism keeps each
+    # map ≤ ~500k entries at any cluster size; AQE coalesces the surplus.
+    map_parts = max(48, 4 * spark.sparkContext.defaultParallelism, npart)
+    corpus = salted_repartition(corpus, map_parts)
 
     dictionary = label_dictionary(seed)
 
@@ -218,10 +226,17 @@ def run_flagship(
         seed.select(*TRIPLE_COLS),
         canonical.select(*TRIPLE_COLS),
         fusable=_fusable(spark, ontology),
+    ).persist()
+    # type completion touches only rdf:type rows: dedupe the type SUBSET
+    # (existing ∪ inferred) instead of re-shuffling the whole KG — the
+    # non-type partition is already exact from fuse_first_value
+    inferred = type_inference_simple(fused, ontology)
+    types = (
+        fused.filter(F.col("predicate") == RDF_TYPE)
+        .unionByName(inferred)
+        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
     )
-    completed = fused.unionByName(
-        type_inference_simple(fused, ontology)
-    ).dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+    completed = fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
     return completed
 
 

@@ -50,7 +50,7 @@ def run_pipeline_level(cores: int, rows: int) -> dict:
         "--rows",
         str(rows),
         "--shuffle-partitions",
-        str(max(cores, 8)),
+        "48",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
