@@ -583,6 +583,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_disjoint_class_violations"] = _disjoint_viol
 
+    def _fuse_union(s, d):
+        from kgpipe_spark.operators.fusion import fuse_union
+
+        base = _base_triples(s, d)
+        seed = base.filter(
+            F.regexp_extract("subject", r"(\d+)$", 1).cast("bigint") % 2 == 0
+        )
+        extra = base.filter(F.col("predicate") == RDFS_LABEL).withColumn(
+            "object_lex", F.concat(F.lit("U:"), F.col("object_lex"))
+        )
+        return fuse_union(seed, base.unionByName(extra))
+
+    q["kg_fuse_union"] = _fuse_union
+
+    def _cleaning(s, d):
+        from kgpipe_spark.operators.transform import remove_empty_literals
+
+        cust = _read(s, d, "customer")
+        k = F.col("c_custkey")
+        dirty = cust.filter(k % 3 == 0).select(
+            F.concat(F.lit(CUST), k.cast("string")).alias("subject"),
+            F.lit(P + "note").alias("predicate"),
+            F.when(k % 2 == 0, F.lit("   ")).otherwise(F.lit("")).alias("object_lex"),
+            F.lit("literal").alias("object_kind"),
+            F.lit(XSD_STRING).alias("object_datatype"),
+        )
+        return remove_empty_literals(_base_triples(s, d).unionByName(dirty))
+
+    q["kg_remove_empty_literals"] = _cleaning
+
     def _rel_match_fixture(s, d):
         """Deterministic relation-match predictions + gold clusters from
         customer keys: suffix-equal pairs (k%40==0), gold-cluster pairs
@@ -1803,6 +1833,37 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(DISTINCT object_lex) FROM completed WHERE predicate = '{_RT}') AS BIGINT) AS n_classes
     """
 
+    sql["kg_fuse_union"] = f"""
+        WITH {SQL_TRIPLES},
+        seed AS (
+          SELECT * FROM triples
+          WHERE CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 2 = 0
+        ),
+        extra AS (
+          SELECT subject, predicate, 'U:' || object_lex AS object_lex, object_kind, object_datatype
+          FROM triples WHERE predicate = '{_RL}'
+        ),
+        unioned AS (
+          SELECT * FROM seed UNION ALL SELECT * FROM triples UNION ALL SELECT * FROM extra
+        )
+        SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+        FROM unioned GROUP BY subject, predicate, object_lex, object_kind
+    """
+
+    sql["kg_remove_empty_literals"] = f"""
+        WITH {SQL_TRIPLES},
+        dirty AS (
+          SELECT 'http://kg.org/cust/' || c_custkey AS subject,
+                 'http://kg.org/prop/note' AS predicate,
+                 CASE WHEN c_custkey % 2 = 0 THEN '   ' ELSE '' END AS object_lex,
+                 'literal' AS object_kind, '{_XS}' AS object_datatype
+          FROM customer WHERE c_custkey % 3 = 0
+        ),
+        allt AS (SELECT * FROM triples UNION ALL SELECT * FROM dirty)
+        SELECT * FROM allt
+        WHERE NOT (object_kind = 'literal' AND length(trim(coalesce(object_lex, ''))) = 0)
+    """
+
     sql["kg_er_relation_eval"] = """
         WITH preds AS (
           SELECT 'http://kg.org/a/attr' || c_custkey AS id_1,
@@ -2433,13 +2494,19 @@ def _doc_sql() -> dict[str, str]:
     sql["doc_minhash_lsh_pairs"] = f"""
         WITH {SQL_AUG_DOCS},
         {SQL_DOC_WORDS},
-        exploded AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+        exploded AS (SELECT doc_id, md5(unnest(shingles)) AS m FROM shf),
+        ab AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(m, 1, 8) AS UBIGINT) AS BIGINT) AS a,
+                 CAST(CAST('0x' || substr(m, 9, 8) AS UBIGINT) AS BIGINT) AS b
+          FROM exploded
+        ),
         mh AS (
-          SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
-          FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+          SELECT doc_id, i, min((a + i * b) % 4294967296) AS h
+          FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
           GROUP BY doc_id, i
         ),
-        sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        sigs AS (SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY i) AS sig FROM mh GROUP BY doc_id),
         bands AS (
           SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) gb

@@ -77,38 +77,57 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<STRING>) — sig[i] = min over shingles of
-    md5(i:shingle). Permutation-free MinHash; md5 keeps it deterministic and
-    engine-portable.
+    """(doc_id, sig ARRAY<BIGINT>) — sig[i] = min over shingles of
+    (a + i·b) mod 2^32, where (a, b) are the first two 32-bit words of
+    md5(shingle). Carter-Wegman hash family: ONE md5 per shingle instead of
+    ``num_hashes`` (16× fewer digests — the digest was the dominant cost),
+    deterministic and engine-portable (DuckDB: CAST('0x'||hex AS UBIGINT)).
 
     The input is repartitioned first: higher-order lambda expressions are
     interpreted (not codegen'd), so this projection is CPU-bound — a narrow
     parquet scan would otherwise pin it to 1-3 cores.
     """
+    from pyspark.sql.window import Window
+
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh = (
+    # ONE exchange (repartition by doc) and everything downstream is
+    # partition-local: the window-lead shingle build (the higher-order
+    # transform/slice lambda formulation is interpreted, ~5× slower), the
+    # per-doc distinct, the signature aggregation and the shingle-array
+    # rollup all cluster on doc_id.
+    words = (
         docs.repartition(n_part, F.col(id_col))
         .select(
-            F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
         )
-        .filter(F.size("shingles") > 0)
-        .localCheckpoint(eager=False)
     )
-    # explode → md5 → groupBy min: stays in whole-stage codegen with map-side
-    # partial aggregation (the lambda/higher-order formulation is interpreted
-    # and an order of magnitude slower)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    hashed = exploded.select(
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(w) for j in range(1, shingle_n)]
+    sh_rows = (
+        words.withColumn("s", F.concat_ws(" ", F.col("w"), *leads))
+        .withColumn("_last", leads[-1] if leads else F.col("w"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "s")
+        .distinct()  # set semantics (word_shingles is distinct) — local
+    )
+    # Carter-Wegman family from ONE md5 per shingle; 16 parallel MIN
+    # aggregates (no 16× row explode), map-side partials, all codegen
+    ab = sh_rows.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
-        F.col("s"),
-    ).select("doc_id", "i", F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("s"))).alias("h"))
-    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("h"))
-    sigs = (
-        mins.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "h"))).alias("ih"))
-        .select("doc_id", F.transform("ih", lambda x: x["h"]).alias("sig"))
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("b"),
     )
+    mins = ab.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + F.lit(i) * F.col("b")) % F.lit(4294967296)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = mins.select(
+        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    sh = sh_rows.groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
     return sh.join(sigs, "doc_id").select("doc_id", "shingles", "sig")
 
 
@@ -141,7 +160,13 @@ def minhash_lsh_pairs(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
-                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
                     ).alias("bucket"),
                 ),
             )

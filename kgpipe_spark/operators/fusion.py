@@ -207,7 +207,11 @@ def fuse_union(seed: DataFrame, source: DataFrame) -> DataFrame:
     return (
         seed.select(*tcols)
         .unionByName(source.select(*tcols))
-        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+        # deterministic min(datatype) per triple key (dropDuplicates keeps
+        # an arbitrary row), single map-side-combinable aggregation
+        .groupBy("subject", "predicate", "object_lex", "object_kind")
+        .agg(F.min("object_datatype").alias("object_datatype"))
+        .select(*tcols)
     )
 
 
