@@ -583,6 +583,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_disjoint_class_violations"] = _disjoint_viol
 
+    def _json_extract(s, d):
+        """The pandas-UDF JSON extractor itself (construct_rdf_from_json),
+        oracle-checked against the closed-form md5-mint derivation."""
+        from kgpipe_spark.operators.extract import extract_json_triples
+
+        cust = _read(s, d, "customer")
+        nation = _read(s, d, "nation")
+        corpus = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            F.lit("org/tpch").alias("repo"),
+            F.concat(F.lit("cust/"), F.col("c_custkey").cast("string"), F.lit(".json")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("json").alias("lang"),
+            F.to_json(
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.struct(F.col("n_name").alias("name")).alias("nation"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_acctbal").alias("balance"),
+                )
+            ).alias("content"),
+        )
+        return (
+            extract_json_triples(corpus)
+            .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
+            .distinct()
+        )
+
+    q["kg_json_extract"] = _json_extract
+
+    def _nt_roundtrip(s, d):
+        """emit → parse N-Triples roundtrip; the oracle states the algebraic
+        result (altLabel dropped, literal datatypes normalized to xsd:string
+        when absent, uri datatypes null)."""
+        from kgpipe_spark.operators.transform import ntriples_lines, parse_ntriples
+
+        return parse_ntriples(ntriples_lines(_base_triples(s, d)), drop_alt_labels=True)
+
+    q["kg_ntriples_roundtrip"] = _nt_roundtrip
+
+    def _prefix_expand(s, d):
+        from kgpipe_spark.sources.readers import DEFAULT_PREFIXES, _expand_prefix
+
+        cust = _read(s, d, "customer")
+        k = F.col("c_custkey")
+        ids = cust.select(
+            F.when(k % 4 == 0, F.concat(F.lit("dbr:Cust"), k.cast("string")))
+            .when(k % 4 == 1, F.concat(F.lit("dbo:prop"), k.cast("string")))
+            .when(k % 4 == 2, F.concat(F.lit("rdfs:label"), k.cast("string")))
+            .otherwise(F.concat(F.lit("http://already.org/"), k.cast("string")))
+            .alias("raw")
+        )
+        return ids.select("raw", _expand_prefix(F.col("raw"), DEFAULT_PREFIXES).alias("expanded"))
+
+    q["kg_prefix_expansion"] = _prefix_expand
+
+    def _labelish(s, d):
+        from kgpipe_spark.functions.strings import labelish_key
+
+        cust = _read(s, d, "customer")
+        k = F.col("c_custkey")
+        keys = cust.select(
+            F.when(k % 5 == 0, F.lit("name"))
+            .when(k % 5 == 1, F.lit("displayName"))
+            .when(k % 5 == 2, F.concat(F.lit("film_"), k.cast("string"), F.lit("_title")))
+            .when(k % 5 == 3, F.lit("prefLabel"))
+            .otherwise(F.concat(F.lit("budget"), k.cast("string")))
+            .alias("key")
+        )
+        return keys.select("key", labelish_key(F.col("key")).alias("is_labelish"))
+
+    q["kg_labelish_keys"] = _labelish
+
+    def _token_blocking(s, d):
+        from kgpipe_spark.operators.matching import token_blocking_matches
+
+        return token_blocking_matches(_base_triples(s, d), _soft_actual(s, d), threshold=0.3)
+
+    q["kg_token_blocking_matches"] = _token_blocking
+
+    def _paris_match(s, d):
+        from kgpipe_spark.operators.matching import blocked_entity_matching
+
+        return blocked_entity_matching(
+            _base_triples(s, d), _soft_actual(s, d), threshold=0.5, neighbor_boost=0.1
+        )
+
+    q["kg_paris_blocked_matching"] = _paris_match
+
     def _fuse_union(s, d):
         from kgpipe_spark.operators.fusion import fuse_union
 
@@ -1831,6 +1919,129 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(DISTINCT predicate) FROM completed) AS BIGINT) AS n_relations,
                CAST((SELECT count(DISTINCT subject) FROM completed) AS BIGINT) AS n_subjects,
                CAST((SELECT count(DISTINCT object_lex) FROM completed WHERE predicate = '{_RT}') AS BIGINT) AS n_classes
+    """
+
+    sql["kg_ntriples_roundtrip"] = f"""
+        WITH {SQL_TRIPLES}
+        SELECT subject, predicate, object_lex, object_kind,
+               CASE WHEN object_kind = 'uri' THEN NULL
+                    ELSE coalesce(object_datatype, '{_XS}') END AS object_datatype
+        FROM triples WHERE predicate <> '{_SA}'
+    """
+
+    sql["kg_prefix_expansion"] = """
+        WITH ids AS (
+          SELECT CASE
+            WHEN c_custkey % 4 = 0 THEN 'dbr:Cust' || c_custkey
+            WHEN c_custkey % 4 = 1 THEN 'dbo:prop' || c_custkey
+            WHEN c_custkey % 4 = 2 THEN 'rdfs:label' || c_custkey
+            ELSE 'http://already.org/' || c_custkey END AS raw
+          FROM customer
+        )
+        SELECT raw,
+               CASE
+                 WHEN starts_with(raw, 'dbr:') THEN 'http://dbpedia.org/resource/' || substr(raw, 5)
+                 WHEN starts_with(raw, 'dbo:') THEN 'http://dbpedia.org/ontology/' || substr(raw, 5)
+                 WHEN starts_with(raw, 'rdfs:') THEN 'http://www.w3.org/2000/01/rdf-schema#' || substr(raw, 6)
+                 WHEN starts_with(raw, 'rdf:') THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#' || substr(raw, 5)
+                 ELSE raw END AS expanded
+        FROM ids
+    """
+
+    sql["kg_labelish_keys"] = """
+        WITH keys AS (
+          SELECT CASE
+            WHEN c_custkey % 5 = 0 THEN 'name'
+            WHEN c_custkey % 5 = 1 THEN 'displayName'
+            WHEN c_custkey % 5 = 2 THEN 'film_' || c_custkey || '_title'
+            WHEN c_custkey % 5 = 3 THEN 'prefLabel'
+            ELSE 'budget' || c_custkey END AS key
+          FROM customer
+        )
+        SELECT key,
+               regexp_matches(key, '(?i)^(.*(name|label|title)|displayname|preflabel)$') AS is_labelish
+        FROM keys
+    """
+
+    _SQL_TOKENS = f"""
+        t1 AS MATERIALIZED (
+          SELECT DISTINCT subject AS id_1, tok AS token FROM (
+            SELECT subject, unnest(string_split({_NORM.format(c='object_lex')}, ' ')) AS tok
+            FROM triples WHERE predicate = '{_RL}'
+          ) WHERE length(tok) > 0
+        ),
+        t2 AS MATERIALIZED (
+          SELECT DISTINCT subject AS id_2, tok AS token FROM (
+            SELECT subject, unnest(string_split({_NORM.format(c='object_lex')}, ' ')) AS tok
+            FROM soft_actual WHERE predicate = '{_RL}'
+          ) WHERE length(tok) > 0
+        ),
+        sizes1 AS (SELECT id_1, count(*) AS n1 FROM t1 GROUP BY id_1),
+        sizes2 AS (SELECT id_2, count(*) AS n2 FROM t2 GROUP BY id_2),
+        block_ok AS MATERIALIZED (
+          SELECT b1.token FROM (SELECT token, count(*) AS c1 FROM t1 GROUP BY token) b1
+          JOIN (SELECT token, count(*) AS c2 FROM t2 GROUP BY token) b2 USING (token)
+          WHERE b1.c1 * b2.c2 <= 1000000
+        ),
+        inter AS MATERIALIZED (
+          SELECT a.id_1, b.id_2, count(*) AS common
+          FROM (SELECT * FROM t1 SEMI JOIN block_ok USING (token)) a
+          JOIN (SELECT * FROM t2 SEMI JOIN block_ok USING (token)) b USING (token)
+          GROUP BY a.id_1, b.id_2
+        ),
+        scored AS MATERIALIZED (
+          SELECT id_1, id_2, common / (n1 + n2 - common) AS score, 'entity' AS id_type
+          FROM inter JOIN sizes1 USING (id_1) JOIN sizes2 USING (id_2)
+        )"""
+
+    sql["kg_token_blocking_matches"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_TOKENS}
+        SELECT * FROM scored WHERE score >= 0.3
+    """
+
+    sql["kg_paris_blocked_matching"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_TOKENS},
+        n1 AS (SELECT subject AS id_1, object_lex AS nbr FROM triples WHERE object_kind = 'uri'),
+        n2 AS (SELECT subject AS id_2, object_lex AS nbr FROM soft_actual WHERE object_kind = 'uri'),
+        shared AS (
+          SELECT n1.id_1, n2.id_2, count(*) AS shared FROM n1 JOIN n2 USING (nbr)
+          GROUP BY n1.id_1, n2.id_2
+        ),
+        boosted AS (
+          SELECT s.id_1, s.id_2,
+                 least(CAST(1.0 AS DOUBLE),
+                       s.score + coalesce(sh.shared, 0) * CAST(0.1 AS DOUBLE)) AS score,
+                 s.id_type
+          FROM scored s LEFT JOIN shared sh ON s.id_1 = sh.id_1 AND s.id_2 = sh.id_2
+          WHERE s.score >= 0.0
+        )
+        SELECT * FROM boosted WHERE score >= 0.5
+    """
+
+    sql["kg_json_extract"] = f"""
+        WITH src AS (
+          SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        doc AS MATERIALIZED (
+          SELECT *,
+            'http://kg.org/e/' || md5('{{"balance":' || bal || ',"name":"' || c_name
+              || '","nation":{{"name":"' || n_name || '"}},"segment":"' || c_mktsegment || '"}}') AS duri,
+            'http://kg.org/e/' || md5('{{"name":"' || n_name || '"}}') AS nuri
+          FROM src
+        )
+        SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+          SELECT duri AS subject, '{_RT}' AS predicate, 'http://kg.org/onto/EXCDocument' AS object_lex,
+                 'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc
+          UNION ALL SELECT duri, '{_RL}', c_name, 'literal', '{_XS}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/name', c_name, 'literal', '{_XS}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/nation', nuri, 'uri', NULL FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/segment', c_mktsegment, 'literal', '{_XS}' FROM doc
+          UNION ALL SELECT nuri, '{_RT}', 'http://kg.org/onto/EXCNation', 'uri', NULL FROM doc
+          UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc
+          UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc
+        )
     """
 
     sql["kg_fuse_union"] = f"""
