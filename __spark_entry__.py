@@ -1334,6 +1334,27 @@ def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_recall"] = _ivf_recall
 
+    def _hyperplane(s, d):
+        from kgpipe_spark.operators.similarity import random_hyperplane_buckets
+
+        return random_hyperplane_buckets(_read(s, d, "embeddings"), n_planes=8)
+
+    q["emb_hyperplane_buckets"] = _hyperplane
+
+    def _lsh_near_dup(s, d):
+        """The 100 TB near-dup path: hyperplane LSH buckets feeding the
+        bucketed pair search (no all-pairs)."""
+        from kgpipe_spark.operators.dedup import embedding_near_duplicates
+        from kgpipe_spark.operators.similarity import random_hyperplane_buckets
+
+        emb = _read(s, d, "embeddings")
+        buckets = random_hyperplane_buckets(emb, n_planes=8)
+        return embedding_near_duplicates(
+            emb.join(buckets, "vec_id"), threshold=0.2, bucket_col="bucket"
+        )
+
+    q["emb_lsh_near_dup"] = _lsh_near_dup
+
     return q
 
 
@@ -2901,6 +2922,41 @@ def _emb_sql() -> dict[str, str]:
 
     # full-probe IVF == exact top-k (nprobe = n_centroids ⇒ every cell searched)
     sql["emb_ivf_topk_fullprobe"] = sql["emb_cosine_topk"]
+
+    # hyperplane LSH buckets: the deterministic ±1 planes are computed in
+    # PYTHON here and inlined as SQL literals — same constants both engines.
+    # The dot product mirrors Spark's sequential fold (same op order).
+    from kgpipe_spark.operators.similarity import _deterministic_hyperplanes
+
+    _planes = _deterministic_hyperplanes(64, 8)
+    _plane_sql = ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in _planes
+    )
+    _bits_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), planes[{p + 1}]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    sql["emb_hyperplane_buckets"] = f"""
+        WITH p AS (SELECT [{_plane_sql}] AS planes)
+        SELECT vec_id, CAST({_bits_sql} AS INTEGER) AS bucket
+        FROM embeddings CROSS JOIN p
+    """
+
+    sql["emb_lsh_near_dup"] = f"""
+        WITH p AS (SELECT [{_plane_sql}] AS planes),
+        e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST({_bits_sql} AS INTEGER) AS bucket
+          FROM embeddings CROSS JOIN p
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+    """
 
     # full IVF replica: same sample centroids (lloyd_steps=0), same
     # sequential squared-diff fold for assignment, same probe/rank order
