@@ -2022,11 +2022,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_paris_blocked_matching"] = f"""
         WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_TOKENS},
-        n1 AS (SELECT subject AS id_1, object_lex AS nbr FROM triples WHERE object_kind = 'uri'),
-        n2 AS (SELECT subject AS id_2, object_lex AS nbr FROM soft_actual WHERE object_kind = 'uri'),
+        n1 AS (SELECT DISTINCT subject AS id_1, object_lex AS nbr FROM triples WHERE object_kind = 'uri'),
+        n2 AS (SELECT DISTINCT subject AS id_2, object_lex AS nbr FROM soft_actual WHERE object_kind = 'uri'),
         shared AS (
-          SELECT n1.id_1, n2.id_2, count(*) AS shared FROM n1 JOIN n2 USING (nbr)
-          GROUP BY n1.id_1, n2.id_2
+          -- per-candidate neighbor intersection, never a global nbr join
+          SELECT s.id_1, s.id_2, count(*) AS shared
+          FROM scored s
+          JOIN n1 ON n1.id_1 = s.id_1
+          JOIN n2 ON n2.id_2 = s.id_2 AND n2.nbr = n1.nbr
+          GROUP BY s.id_1, s.id_2
         ),
         boosted AS (
           SELECT s.id_1, s.id_2,
@@ -2333,15 +2337,34 @@ def _sql_cosine(a: str, e: str, out: str, max_block: int = 1000) -> str:
     """CTE chain: {out}(lid, rid, cos) — blocked candidate pairs between the
     {a}_* and {e}_* embed chains, exact cosine."""
     return f"""
-{out}_hot AS MATERIALIZED (
-  SELECT g FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) WHERE c > {max_block}
-  UNION
-  SELECT g FROM (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) WHERE c > {max_block}
+{out}_freq AS MATERIALIZED (
+  SELECT g, coalesce(la.c, 0) + coalesce(ra.c, 0) AS freq,
+         coalesce(la.c, 0) AS nl, coalesce(ra.c, 0) AS nr
+  FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) la
+  FULL OUTER JOIN (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) ra USING (g)
+),
+{out}_keep AS MATERIALIZED (
+  SELECT g, freq FROM {out}_freq WHERE nl <= {max_block} AND nr <= {max_block}
+),
+{out}_pl AS MATERIALIZED (
+  SELECT id, g FROM (
+    SELECT t.id, t.g,
+           row_number() OVER (PARTITION BY t.id ORDER BY k.freq ASC, t.g ASC) AS rn,
+           count(*) OVER (PARTITION BY t.id) AS n
+    FROM {a}_gd t JOIN {out}_keep k USING (g)
+  ) WHERE rn <= floor(n / 10) + 2
+),
+{out}_pr AS MATERIALIZED (
+  SELECT id, g FROM (
+    SELECT t.id, t.g,
+           row_number() OVER (PARTITION BY t.id ORDER BY k.freq ASC, t.g ASC) AS rn,
+           count(*) OVER (PARTITION BY t.id) AS n
+    FROM {e}_gd t JOIN {out}_keep k USING (g)
+  ) WHERE rn <= floor(n / 10) + 2
 ),
 {out}_cand AS MATERIALIZED (
   SELECT DISTINCT l.id AS lid, r.id AS rid
-  FROM {a}_gd l JOIN {e}_gd r USING (g)
-  WHERE g NOT IN (SELECT g FROM {out}_hot)
+  FROM {out}_pl l JOIN {out}_pr r USING (g)
 ),
 {out} AS MATERIALIZED (
   SELECT c.lid, c.rid,
