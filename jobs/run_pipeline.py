@@ -65,7 +65,18 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     t0 = time.time()
-    triples = run_flagship(spark, corpus, seed)
+    if args.checkpoint_dir:
+        # durable per-stage snapshots + manifest.json lineage/metrics; a
+        # rerun with the same corpus fingerprint resumes mid-pipeline
+        from kgpipe_spark.pipelines import run_flagship_checkpointed
+
+        triples, report = run_flagship_checkpointed(
+            spark, corpus, seed, args.checkpoint_dir, input_fingerprint=corpus_path
+        )
+        for row in report:
+            print(json.dumps({"stage_report": row}), file=sys.stderr)
+    else:
+        triples = run_flagship(spark, corpus, seed)
     if args.output:
         triples.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

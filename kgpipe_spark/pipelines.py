@@ -133,16 +133,13 @@ def compose_maps(first: DataFrame, second: DataFrame) -> DataFrame:
     return via.unionByName(rest).filter(F.col("entity") != F.col("canonical"))
 
 
-def run_flagship(
+def _stage_extract(
     spark: SparkSession,
     corpus: DataFrame,
     seed: DataFrame,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """Full extract→link→canonicalize→fuse→complete over a corpus DataFrame.
-
-    Returns the fused triples table (with the seed folded in).
-    """
+    """Stage 1: corpus → deduplicated extracted triples (unpersisted)."""
     npart = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # map-partition count is sized by DATA, not by cores: the extraction
     # stage ends in the dedupe's partial hash-aggregation, whose per-task
@@ -160,20 +157,20 @@ def run_flagship(
     t_code = extract_code_triples(corpus)
     t_text = text_surface_to_triples(extract_text_surface_triples(corpus), dictionary)
     extracted = t_json.unionByName(t_code).unionByName(t_text)
-    # stage boundary: extraction feeds three downstream consumers (linking,
-    # CC edge building, canonicalize rewrite joins) — cache once (compressed
-    # columnar) so the pandas-UDF extraction isn't recomputed per consumer
-    # (on a cluster this is the per-stage Iceberg snapshot).
     # early set-semantics dedupe: rdflib graphs dedupe on add (the reference's
     # implicit behavior) and repeated nested entities (same md5 URI across
     # blobs) collapse 3×+ here — every downstream shuffle gets that much
     # lighter; dropDuplicates does map-side partial dedupe before the shuffle
-    extracted = (
-        remove_empty_literals(extracted)
-        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
-        .persist()
+    return remove_empty_literals(extracted).dropDuplicates(
+        ["subject", "predicate", "object_lex", "object_kind"]
     )
 
+
+def _stage_link_canonicalize(
+    spark: SparkSession, extracted: DataFrame, seed: DataFrame
+) -> DataFrame:
+    """Stage 2: extracted triples → canonicalized triples (link + CC rewrite)."""
+    dictionary = label_dictionary(seed)
     # entity linking: map extracted entities onto seed URIs by label — the
     # map only (the expensive full-KG rewrite is deferred and fused with the
     # CC rewrite below into a single pass)
@@ -207,8 +204,13 @@ def run_flagship(
 
     # ONE rewrite pass over the full KG with the composed link∘CC map
     composed = compose_maps(lmap, canon).localCheckpoint(eager=True)
-    canonical = canonicalize_triples(extracted, composed)
+    return canonicalize_triples(extracted, composed)
 
+
+def _stage_fuse_complete(
+    spark: SparkSession, canonical: DataFrame, seed: DataFrame
+) -> DataFrame:
+    """Stage 3: canonicalized triples → fused + type-completed KG."""
     # ontology for type completion: code predicates + movie props
     ontology = spark.createDataFrame(
         [
@@ -221,7 +223,6 @@ def run_flagship(
         "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
     )
 
-    prov_cols = ["prov_repo", "prov_path", "prov_commit"]
     fused = fuse_first_value(
         seed.select(*TRIPLE_COLS),
         canonical.select(*TRIPLE_COLS),
@@ -238,6 +239,55 @@ def run_flagship(
     )
     completed = fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
     return completed
+
+
+def run_flagship(
+    spark: SparkSession,
+    corpus: DataFrame,
+    seed: DataFrame,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Full extract→link→canonicalize→fuse→complete over a corpus DataFrame.
+
+    Returns the fused triples table (with the seed folded in).
+    """
+    # stage boundary: extraction feeds three downstream consumers (linking,
+    # CC edge building, canonicalize rewrite joins) — cache once (compressed
+    # columnar) so the pandas-UDF extraction isn't recomputed per consumer
+    # (on a cluster this is the per-stage Iceberg snapshot; see
+    # run_flagship_checkpointed for the durable variant).
+    extracted = _stage_extract(spark, corpus, seed, shuffle_partitions).persist()
+    canonical = _stage_link_canonicalize(spark, extracted, seed)
+    return _stage_fuse_complete(spark, canonical, seed)
+
+
+def run_flagship_checkpointed(
+    spark: SparkSession,
+    corpus: DataFrame,
+    seed: DataFrame,
+    checkpoint_dir: str,
+    input_fingerprint: str = "corpus",
+    shuffle_partitions: int | None = None,
+):
+    """Flagship run through the content-addressed checkpoint driver.
+
+    Each stage snapshots to ``{checkpoint_dir}/stage-{chain_hash}.parquet``
+    and logs (rows, partitions, duration) to ``manifest.json`` — the north
+    rule's per-partition lineage + metrics. A rerun with the same
+    (input_fingerprint, stage list) resumes after the last completed stage;
+    editing a stage invalidates it and everything downstream (hash chain).
+    Returns (completed_triples, report_rows).
+    """
+    from kgpipe_spark.plans.pipeline import Pipeline, Stage
+
+    stages = [
+        Stage("extract", lambda df: _stage_extract(spark, df, seed, shuffle_partitions)),
+        Stage("link_canonicalize", lambda df: _stage_link_canonicalize(spark, df, seed)),
+        Stage("fuse_complete", lambda df: _stage_fuse_complete(spark, df, seed)),
+    ]
+    pipe = Pipeline(spark, stages, checkpoint_dir=checkpoint_dir)
+    out = pipe.run(corpus, input_fingerprint=input_fingerprint)
+    return out, pipe.report
 
 
 def _fusable(spark: SparkSession, ontology: DataFrame) -> DataFrame:

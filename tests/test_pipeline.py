@@ -83,3 +83,29 @@ def test_flagship_hot_label_star_edges_bounded(spark):
     assert dup_edges.count() == n - 1  # linear, not n*(n-1)/2
     comp = connected_components(dup_edges)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_flagship_checkpointed_matches_and_resumes(spark, small_corpus, seed, tmp_path):
+    """run_flagship_checkpointed = run_flagship output, and a rerun with the
+    same fingerprint skips every stage (north rule: resumable mid-pipeline
+    with per-stage lineage + metrics)."""
+    from kgpipe_spark.pipelines import run_flagship_checkpointed
+
+    direct = {tuple(r) for r in run_flagship(spark, small_corpus, seed).collect()}
+    out1, rep1 = run_flagship_checkpointed(
+        spark, small_corpus, seed, str(tmp_path), input_fingerprint="t"
+    )
+    assert {tuple(r) for r in out1.select(*direct_cols(out1)).collect()} == direct
+    assert [r["stage"] for r in rep1] == ["extract", "link_canonicalize", "fuse_complete"]
+    assert [r["status"] for r in rep1] == ["done", "done", "done"]
+    assert all(r["rows"] > 0 and r["partitions"] > 0 for r in rep1)
+
+    out2, rep2 = run_flagship_checkpointed(
+        spark, small_corpus, seed, str(tmp_path), input_fingerprint="t"
+    )
+    assert [r["status"] for r in rep2] == ["skipped", "skipped", "skipped"]
+    assert {tuple(r) for r in out2.select(*direct_cols(out2)).collect()} == direct
+
+
+def direct_cols(df):
+    return ["subject", "predicate", "object_lex", "object_kind", "object_datatype"]
