@@ -36,6 +36,18 @@ def main() -> None:
     # warmup: JVM + parquet reader + python worker pool (excluded from timings)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # pre-fork the Arrow/pandas worker pool: each python worker pays ~1s of
+    # process fork + pandas/pyarrow import on first use; with
+    # spark.python.worker.reuse the pool then serves every later pandas UDF.
+    # Without this the FIRST measured query (the flagship) absorbs the whole
+    # pool spin-up.
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _wu(s):
+        return s
+
+    spark.range(100_000, numPartitions=int(cpus)).select(_wu(col("id"))).count()
 
     queries = E.queries()
     bench_set = [

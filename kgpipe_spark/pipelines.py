@@ -133,6 +133,11 @@ def compose_maps(first: DataFrame, second: DataFrame) -> DataFrame:
     return via.unionByName(rest).filter(F.col("entity") != F.col("canonical"))
 
 
+# calibrated on this sandbox: 200k-row corpora need ≥48 extraction partitions
+# for the dedupe partial-agg to stay in memory → ≤ ~4.2k rows/partition
+_ROWS_PER_MAP_PARTITION = 4000
+
+
 def _stage_extract(
     spark: SparkSession,
     corpus: DataFrame,
@@ -141,22 +146,45 @@ def _stage_extract(
 ) -> DataFrame:
     """Stage 1: corpus → deduplicated extracted triples (unpersisted)."""
     npart = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # map-partition count is sized by DATA, not by cores: the extraction
-    # stage ends in the dedupe's partial hash-aggregation, whose per-task
-    # hash map must fit in (execution memory / concurrent tasks). With
-    # core-count partitions the map grows ~2M string entries and SPILLS at
-    # high parallelism while fitting at low — measured NEGATIVE shuffle
-    # scaling (80s@2cores vs 58s@8). 4-6× defaultParallelism keeps each
-    # map ≤ ~500k entries at any cluster size; AQE coalesces the surplus.
-    map_parts = max(48, 4 * spark.sparkContext.defaultParallelism, npart)
+    # map-partition count is sized by DATA (corpus rows), not by cores: the
+    # extraction stage ends in the dedupe's partial hash-aggregation, whose
+    # per-task hash map must fit in (execution memory / concurrent tasks).
+    # With core-count partitions the map grows ~2M string entries and SPILLS
+    # at high parallelism while fitting at low — measured NEGATIVE shuffle
+    # scaling (80s@2cores vs 58s@8). ~4k corpus rows (~100k extracted
+    # triples) per partition keeps each map bounded at ANY cluster size,
+    # while a small corpus no longer fans out into hundreds of tiny
+    # pandas-UDF tasks (measured 6.5s→1.2s at 15k rows, 128→32 parts).
+    # Plan-statistics sizing is NOT usable here: join-output estimates run
+    # ~140× high and range-expression estimates ~100× low; one cheap
+    # aggregation job on the (parquet-backed) corpus is exact — and the same
+    # job's per-lang counts let us skip extractor branches for absent langs
+    # (each unbuilt branch saves serial driver-side Catalyst analysis of its
+    # plan tree — measured 2.9s for the text-link branch alone — plus its
+    # per-task overhead at run time).
+    lang_counts = {r["lang"]: r["n"] for r in corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_rows = sum(lang_counts.values())
+    map_parts = max(
+        spark.sparkContext.defaultParallelism, npart, -(-n_rows // _ROWS_PER_MAP_PARTITION)
+    )
     corpus = salted_repartition(corpus, map_parts)
 
     dictionary = label_dictionary(seed)
 
-    t_json = extract_json_triples(corpus)
-    t_code = extract_code_triples(corpus)
-    t_text = text_surface_to_triples(extract_text_surface_triples(corpus), dictionary)
-    extracted = t_json.unionByName(t_code).unionByName(t_text)
+    branches = []
+    if lang_counts.get("json"):
+        branches.append(extract_json_triples(corpus))
+    if lang_counts.get("python"):
+        branches.append(extract_code_triples(corpus))
+    if lang_counts.get("text"):
+        branches.append(
+            text_surface_to_triples(extract_text_surface_triples(corpus), dictionary)
+        )
+    if not branches:  # empty corpus → empty triples with the right schema
+        branches = [extract_json_triples(corpus)]
+    extracted = branches[0]
+    for b in branches[1:]:
+        extracted = extracted.unionByName(b)
     # early set-semantics dedupe: rdflib graphs dedupe on add (the reference's
     # implicit behavior) and repeated nested entities (same md5 URI across
     # blobs) collapse 3×+ here — every downstream shuffle gets that much
