@@ -922,6 +922,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_relational_queries())
     q.update(_doc_queries())
     q.update(_emb_queries())
+    q.update(_linkmedia_queries())
+    return q
+
+
+# ---------------------------------------------------------------------------
+# linking / preference-fusion / schema-match / multimodal queries
+# (closes the round-1 "pytest-only" rows of SURVEY.md §2.4/§2.5/§2.7 and the
+# multimodal family with driver-gated oracles)
+# ---------------------------------------------------------------------------
+
+
+def _link_mentions(s: SparkSession, d: str) -> DataFrame:
+    """Mention fixture: every nation name (dictionary hits) + salted customer
+    segments (guaranteed misses → minted URIs)."""
+    nation = _read(s, d, "nation")
+    cust = _read(s, d, "customer")
+    hits = nation.select(
+        F.concat(F.lit("doc://nation/"), F.col("n_nationkey").cast("string")).alias("doc_uri"),
+        F.lit("entity").alias("kind"),
+        F.col("n_name").alias("query_text"),
+    )
+    misses = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        F.concat(F.lit("doc://cust/"), F.col("c_custkey").cast("string")).alias("doc_uri"),
+        F.lit("entity").alias("kind"),
+        F.concat(F.col("c_mktsegment"), F.lit(" "), F.col("c_custkey").cast("string")).alias(
+            "query_text"
+        ),
+    )
+    return hits.unionByName(misses)
+
+
+def _linkmedia_queries() -> dict:
+    from kgpipe_spark.operators.fusion import preference_fusion
+    from kgpipe_spark.operators.linking import (
+        label_dictionary,
+        link_embedding_topk,
+        link_exact,
+        link_or_mint,
+    )
+    from kgpipe_spark.operators.matching import map_matched_relations, schema_column_matching
+    from kgpipe_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    q: dict = {}
+
+    # preference fusion (preference.py:229-252): highest-scoring value from
+    # the preferred source when present, else overall best
+    def _pref(s, d):
+        orders = _read(s, d, "orders")
+        src = orders.select(
+            F.concat(F.lit(CUST), F.col("o_custkey").cast("string")).alias("subject"),
+            F.lit(P + "priority").alias("predicate"),
+            F.col("o_orderpriority").alias("object_lex"),
+            F.lit("literal").alias("object_kind"),
+            F.lit(XSD_STRING).alias("object_datatype"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("target_kg"))
+            .otherwise(F.lit("wiki"))
+            .alias("source"),
+            (F.pmod(F.col("o_orderkey"), F.lit(100)) / F.lit(100.0)).alias("score"),
+        )
+        return preference_fusion(src)
+
+    q["kg_preference_fusion"] = _pref
+
+    # SimpleEntityLinker exact path + sha256 minting (extract_json.py:478-521)
+    def _lom(s, d):
+        linked = link_or_mint(link_exact(_link_mentions(s, d), label_dictionary(_base_triples(s, d))))
+        # -1.0 sentinel: a nullable double column stringifies differently
+        # across the two engines (None vs NaN) under the driver's compare
+        return linked.select(
+            "doc_uri",
+            "query_text",
+            "mapping",
+            F.coalesce(F.col("score"), F.lit(-1.0)).alias("score"),
+            "resolved_uri",
+        )
+
+    q["kg_link_or_mint"] = _lom
+
+    # embedding top-1 against the broadcast label matrix (LabelIndex,
+    # extract_json.py:73-96): real float32 argmax over the hashed-gram
+    # embeddings; the fixture's accepted matches are exactly the exact-name
+    # hits (country names are mutually dissimilar, cosine << 0.70)
+    def _embed_top1(s, d):
+        nation = _read(s, d, "nation")
+        dictionary = nation.select(
+            F.concat(F.lit(NAT), F.col("n_nationkey").cast("string")).alias("uri"),
+            F.col("n_name").alias("label"),
+        )
+        linked = link_embedding_topk(_link_mentions(s, d), dictionary, s)
+        return linked.select(
+            "query_text",
+            "mapping",
+            F.coalesce(F.round(F.col("score"), 6), F.lit(-1.0)).alias("score_r"),
+        ).distinct()
+
+    q["kg_link_embed_top1"] = _embed_top1
+
+    # relation-match rewrite (rdf_om.py:445-451)
+    def _map_rel(s, d):
+        matches = s.createDataFrame(
+            [
+                (P + "mktsegment", P + "segment", 0.9, "relation"),
+                (P + "acctbal", P + "balance", 0.3, "relation"),
+                (P + "nation", P + "locatedIn", 0.8, "entity"),
+            ],
+            "id_1 string, id_2 string, score double, id_type string",
+        )
+        return map_matched_relations(_base_triples(s, d), matches)
+
+    q["kg_map_matched_relations"] = _map_rel
+
+    # Valentine-style schema column matching on a bounded sample
+    # (valentine_schema_matching.py:74): nation vs a renamed self-copy —
+    # 25 rows < the 500-row sample, so the sample is the whole table and
+    # the match set is deterministic
+    def _valentine(s, d):
+        nation = _read(s, d, "nation")
+        renamed = nation.select(
+            F.col("n_nationkey").alias("nation_key"),
+            F.col("n_name").alias("nation_name"),
+            F.col("n_regionkey").alias("region_key"),
+        )
+        return schema_column_matching(nation, renamed)
+
+    q["kg_valentine_schema_match"] = _valentine
+
+    # multimodal: deterministic fake decode through the REAL mapInPandas
+    # plumbing (md5-seeded float32 features over binary payloads)
+    def _media_features(s, d):
+        feats = extract_features(synth_media(s, 300), fake=True, dim=16)
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            F.col("feature")[0].cast("double").alias("f0"),
+            F.col("feature")[5].cast("double").alias("f5"),
+            F.col("feature")[15].cast("double").alias("f15"),
+        )
+
+    q["doc_media_features"] = _media_features
+
+    # frame sampling plan: video rows → (media_id, frame_ts_ms), pure JVM
+    def _frame_plan(s, d):
+        return frame_sample_plan(synth_media(s, 300))
+
+    q["doc_media_frame_plan"] = _frame_plan
+
     return q
 
 
@@ -2301,6 +2451,149 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_relational_sql())
     sql.update(_doc_sql())
     sql.update(_emb_sql())
+    sql.update(_linkmedia_sql())
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# linking / preference-fusion / schema-match / multimodal oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _linkmedia_sql() -> dict:
+    sql: dict = {}
+    norm = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
+
+    # fixture CTE shared by the linking oracles — mirrors _link_mentions
+    mentions = """
+        mentions AS (
+          SELECT 'doc://nation/' || n_nationkey AS doc_uri, 'entity' AS kind,
+                 n_name AS query_text FROM nation
+          UNION ALL
+          SELECT 'doc://cust/' || c_custkey, 'entity',
+                 c_mktsegment || ' ' || c_custkey FROM customer WHERE c_custkey % 50 = 0
+        )"""
+
+    sql["kg_preference_fusion"] = """
+        WITH src AS (
+          SELECT 'http://kg.org/cust/' || o_custkey AS subject,
+                 'http://kg.org/prop/priority' AS predicate,
+                 o_orderpriority AS object_lex,
+                 'literal' AS object_kind,
+                 'http://www.w3.org/2001/XMLSchema#string' AS object_datatype,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'target_kg' ELSE 'wiki' END AS source,
+                 (o_orderkey % 100) / 100.0 AS score
+          FROM orders
+        )
+        SELECT subject, predicate, object_lex, object_kind, object_datatype, source, score
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY subject, predicate
+            ORDER BY CASE WHEN source = 'target_kg' THEN 0 ELSE 1 END,
+                     score DESC,
+                     sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1))
+                            || coalesce(object_datatype, chr(1)))
+          ) AS rn FROM src
+        ) WHERE rn = 1
+    """
+
+    nq = norm.format(c="m.query_text")
+    sql["kg_link_or_mint"] = f"""
+        WITH {SQL_TRIPLES},
+        dict AS (
+          SELECT {norm.format(c="object_lex")} AS norm_label, min(subject) AS mapping
+          FROM triples
+          WHERE predicate IN ('{_RL}', '{_SA}')
+          GROUP BY 1
+        ),
+        {mentions}
+        SELECT m.doc_uri, m.query_text, d.mapping,
+               CASE WHEN d.mapping IS NOT NULL THEN 1.0 ELSE -1.0 END AS score,
+               CASE WHEN d.mapping IS NOT NULL THEN d.mapping
+                    ELSE 'http://kg.org/newE/' || sha256({nq}) END AS resolved_uri
+        FROM mentions m LEFT JOIN dict d ON {nq} = d.norm_label
+    """
+
+    # exact-name hits score 1.0 (identical strings → identical L2-normalized
+    # embeddings); everything else is far below the 0.70 accept threshold,
+    # so the expected link set is exactly the equijoin on the raw name
+    sql["kg_link_embed_top1"] = f"""
+        WITH {mentions}
+        SELECT DISTINCT m.query_text, n.mapping,
+               CASE WHEN n.mapping IS NOT NULL THEN 1.0 ELSE -1.0 END AS score_r
+        FROM mentions m
+        LEFT JOIN (
+          SELECT 'http://kg.org/nation/' || n_nationkey AS mapping, n_name FROM nation
+        ) n ON m.query_text = n.n_name
+    """
+
+    sql["kg_map_matched_relations"] = f"""
+        WITH {SQL_TRIPLES}
+        SELECT subject,
+               CASE WHEN predicate = 'http://kg.org/prop/mktsegment'
+                    THEN 'http://kg.org/prop/segment' ELSE predicate END AS predicate,
+               object_lex, object_kind, object_datatype
+        FROM triples
+    """
+
+    # Valentine oracle: value-overlap jaccard computed in SQL per column
+    # pair; name-token jaccard constants are hand-derived from the column
+    # names (tokens: n_nationkey→{{n,nationkey}}, nation_key→{{nation,key}}, …)
+    def _vs(c1: str, c2: str) -> str:
+        a = f"(SELECT DISTINCT lower(CAST({c1} AS VARCHAR)) AS v FROM nation)"
+        b = f"(SELECT DISTINCT lower(CAST({c2} AS VARCHAR)) AS v FROM nation)"
+        return (
+            f"(CAST((SELECT count(*) FROM ({a} INTERSECT {b})) AS DOUBLE)"
+            f" / (SELECT count(*) FROM ({a} UNION {b})))"
+        )
+
+    pairs = [
+        # (id_1, id_2, source col of id_2, name-token jaccard)
+        ("n_nationkey", "nation_key", "n_nationkey", "0.0"),
+        ("n_nationkey", "nation_name", "n_name", "0.0"),
+        ("n_nationkey", "region_key", "n_regionkey", "0.0"),
+        ("n_name", "nation_key", "n_nationkey", "0.0"),
+        ("n_name", "nation_name", "n_name", "1.0/3.0"),
+        ("n_name", "region_key", "n_regionkey", "0.0"),
+        ("n_regionkey", "nation_key", "n_nationkey", "0.0"),
+        ("n_regionkey", "nation_name", "n_name", "0.0"),
+        ("n_regionkey", "region_key", "n_regionkey", "0.0"),
+    ]
+    pair_rows = "\n          UNION ALL ".join(
+        f"SELECT '{c1}' AS id_1, '{c2}' AS id_2, "
+        f"0.5 * ({name_sim}) + 0.5 * {_vs(c1, src)} AS score, 'relation' AS id_type"
+        for (c1, c2, src, name_sim) in pairs
+    )
+    sql["kg_valentine_schema_match"] = f"""
+        SELECT * FROM (
+          {pair_rows}
+        ) WHERE score >= 0.5
+    """
+
+    # fake decode replica: payload = utf8(sha256 hex), feature = md5(payload)
+    # bytes as 4 little-endian uint32 → float32/2^32, tiled ×4 to dim 16;
+    # probes f0/f5/f15 hit tile positions u0/u1/u3
+    def _u32le(pos: int) -> str:
+        # byte j of the md5 digest is hex chars (2j+1, 2j+2); LE uint32 from
+        # bytes 4i..4i+3 reverses them
+        b = [f"substr(h, {2 * (pos * 4 + j) + 1}, 2)" for j in (3, 2, 1, 0)]
+        return f"CAST('0x' || {' || '.join(b)} AS UBIGINT)"
+
+    sql["doc_media_features"] = f"""
+        WITH m AS (SELECT id, md5(sha256('media-42-' || id)) AS h FROM range(300) t(id))
+        SELECT id AS media_id, CAST(64 AS BIGINT) AS n_bytes,
+               CAST(CAST({_u32le(0)} AS REAL) / 4294967296.0 AS DOUBLE) AS f0,
+               CAST(CAST({_u32le(1)} AS REAL) / 4294967296.0 AS DOUBLE) AS f5,
+               CAST(CAST({_u32le(3)} AS REAL) / 4294967296.0 AS DOUBLE) AS f15
+        FROM m
+    """
+
+    sql["doc_media_frame_plan"] = """
+        SELECT id AS media_id,
+               unnest(generate_series(0, CAST(1000 + id % 9000 AS INT), 1000)) AS frame_ts_ms
+        FROM range(300) t(id) WHERE id % 3 = 2
+    """
+
     return sql
 
 
