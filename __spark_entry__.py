@@ -13,6 +13,7 @@ them independently and must agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -186,6 +187,35 @@ triples AS (
   SELECT 'http://kg.org/region/' || r_regionkey, '{_RL}', r_name, 'literal', '{_XS}' FROM region
 )"""
 
+# the flagship corpus is ONE fixed JSON template per customer, so the
+# pandas-UDF extraction collapses to closed-form per-column md5 minting —
+# shared by the kg_flagship_stats and kg_streaming_ingest oracles
+_SQL_FLAGSHIP_EXTRACT = f"""src AS (
+          SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        doc AS MATERIALIZED (
+          SELECT *,
+            'http://kg.org/e/' || md5('{{"balance":' || bal || ',"name":"' || c_name
+              || '","nation":{{"name":"' || n_name || '"}},"segment":"' || c_mktsegment || '"}}') AS duri,
+            'http://kg.org/e/' || md5('{{"name":"' || n_name || '"}}') AS nuri
+          FROM src
+        ),
+        extracted AS MATERIALIZED (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT duri AS subject, '{_RT}' AS predicate, 'http://kg.org/onto/EXCDocument' AS object_lex,
+                   'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc
+            UNION ALL SELECT duri, '{_RL}', c_name, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/name', c_name, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/nation', nuri, 'uri', NULL FROM doc
+            UNION ALL SELECT duri, 'http://kg.org/prop/segment', c_mktsegment, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT nuri, '{_RT}', 'http://kg.org/onto/EXCNation', 'uri', NULL FROM doc
+            UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc
+            UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc
+          )
+        )"""
+
 SQL_MATCHES = """
 matches AS (
   SELECT 'http://kg.org/cust/' || c_custkey AS id_1,
@@ -246,15 +276,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark, sf_dir)
 
 
-def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kgpipe_spark.pipelines import run_flagship
-
+def _flagship_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One JSON blob per customer (input_hint shape)."""
     cust = _read(spark, sf_dir, "customer")
     nation = _read(spark, sf_dir, "nation")
-    region = _read(spark, sf_dir, "region")
-
-    # corpus: one JSON blob per customer (input_hint shape)
-    corpus = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+    return cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
         F.lit("org/tpch").alias("repo"),
         F.concat(F.lit("cust/"), F.col("c_custkey").cast("string"), F.lit(".json")).alias("path"),
         F.sha2(F.concat(F.lit("c"), F.col("c_custkey").cast("string")), 256).substr(1, 40).alias("commit"),
@@ -268,6 +294,15 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content"),
     )
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgpipe_spark.pipelines import run_flagship
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    corpus = _flagship_corpus(spark, sf_dir)
+
     # seed KG: nation + region entities
     from kgpipe_spark.operators.extract import unpivot_to_triples
 
@@ -1071,6 +1106,128 @@ def _linkmedia_queries() -> dict:
         return frame_sample_plan(synth_media(s, 300))
 
     q["doc_media_frame_plan"] = _frame_plan
+
+    # json_sampler greedy set cover (json_sampler.py:57-74): 10 schema
+    # shapes (5 segments × {with,without} "extra"); the cover is 1 even doc
+    # (4 paths, min path string across segments) + the other 4 segments'
+    # odd docs (2 paths each) — analytically reproducible in SQL
+    def _sampler(s, d):
+        from kgpipe_spark.operators.sampler import greedy_set_cover_sample
+
+        cust = _read(s, d, "customer")
+        corpus = cust.select(
+            F.lit("org/tpch").alias("repo"),
+            F.concat(F.lit("cust/"), F.col("c_custkey").cast("string"), F.lit(".json")).alias(
+                "path"
+            ),
+            F.lit("json").alias("lang"),
+            F.concat(
+                F.lit('{"name":"'),
+                F.col("c_name"),
+                F.lit('","seg_'),
+                F.lower(F.col("c_mktsegment")),
+                F.lit('":1'),
+                F.when(F.col("c_custkey") % 2 == 0, F.lit(',"extra":{"a":1}')).otherwise(
+                    F.lit("")
+                ),
+                F.lit("}"),
+            ).alias("content"),
+        )
+        picked = greedy_set_cover_sample(corpus)
+        return s.createDataFrame(
+            [(p["repo"], p["path"], len(p["paths"])) for p in picked],
+            "repo string, path string, n_paths int",
+        )
+
+    q["kg_json_sampler"] = _sampler
+
+    # ontology extraction from RDF declaration triples (intent of the
+    # reference's extract_ontology_from_rdf task, shipped as a stub there)
+    def _extract_onto(s, d):
+        from kgpipe_spark.operators.transform import extract_ontology_from_rdf
+
+        region = _read(s, d, "region")
+        RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+        OWL = "http://www.w3.org/2002/07/owl#"
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        uri = F.concat(F.lit(P + "p_"), F.col("r_regionkey").cast("string"))
+
+        def t(pred, lex, kind, dt=None, flt=None):
+            df = region if flt is None else region.filter(flt)
+            return df.select(
+                uri.alias("subject"),
+                F.lit(pred).alias("predicate"),
+                lex.alias("object_lex"),
+                F.lit(kind).alias("object_kind"),
+                F.lit(dt).cast("string").alias("object_datatype"),
+            )
+
+        even = F.col("r_regionkey") % 2 == 0
+        decls = (
+            t(RDFS + "domain", F.lit(O + "Customer"), "uri")
+            .unionByName(
+                t(
+                    RDFS + "range",
+                    F.when(even, F.lit(XSD + "string")).otherwise(F.lit(O + "Nation")),
+                    "uri",
+                )
+            )
+            .unionByName(t(RDFS_LABEL, F.lower(F.col("r_name")), "literal", XSD_STRING, even))
+            .unionByName(
+                t(SKOS_ALT_LABEL, F.col("r_name"), "literal", XSD_STRING, F.col("r_regionkey") % 3 == 0)
+            )
+            .unionByName(
+                t(
+                    SKOS_ALT_LABEL,
+                    F.concat(F.col("r_name"), F.lit(" zone")),
+                    "literal",
+                    XSD_STRING,
+                    F.col("r_regionkey") % 3 == 0,
+                )
+            )
+            .unionByName(t(OWL + "maxCardinality", F.lit("1"), "literal", XSD_STRING, ~even))
+        )
+        onto = extract_ontology_from_rdf(decls)
+        return onto.select(
+            "uri",
+            "label",
+            F.coalesce(F.concat_ws("|", F.col("aliases")), F.lit("")).alias("aliases_str"),
+            "domain",
+            "range",
+            "is_object_prop",
+            F.coalesce(F.col("max_cardinality"), F.lit(-1)).alias("max_cardinality"),
+        )
+
+    q["kg_extract_ontology"] = _extract_onto
+
+    # Structured-Streaming incremental ingest: the flagship corpus lands as
+    # parquet files, micro-batches (2 files each) are extracted and appended
+    # with set semantics (anti-join dedupe vs the materialized sink); the
+    # final triples table must equal the one-shot batch extraction — which
+    # the oracle re-derives in closed form
+    def _streaming(s, d):
+        import hashlib
+        import shutil
+        import tempfile
+
+        from kgpipe_spark.streaming.ingest import stream_corpus_to_triples
+
+        # deterministic scratch dir per sf_dir, wiped at the start so reruns
+        # are idempotent; the output stays on disk for the lazy read-back
+        tag = hashlib.md5(d.encode()).hexdigest()[:10]
+        base = os.path.join(tempfile.gettempdir(), f"kg_stream_q_{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = f"{base}/in"
+        _flagship_corpus(s, d).repartition(4).write.mode("overwrite").parquet(in_dir)
+        query = stream_corpus_to_triples(
+            s, in_dir, f"{base}/out", f"{base}/ck", max_files_per_trigger=2
+        )
+        query.awaitTermination()
+        return s.read.parquet(f"{base}/out").select(
+            "subject", "predicate", "object_lex", "object_kind", "object_datatype"
+        )
+
+    q["kg_streaming_ingest"] = _streaming
 
     return q
 
@@ -1968,31 +2125,7 @@ def oracle_sql() -> dict[str, str]:
 
     _NORM = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
     sql["kg_flagship_stats"] = f"""
-        WITH src AS (
-          SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal, n_name
-          FROM customer JOIN nation ON c_nationkey = n_nationkey
-        ),
-        doc AS MATERIALIZED (
-          SELECT *,
-            'http://kg.org/e/' || md5('{{"balance":' || bal || ',"name":"' || c_name
-              || '","nation":{{"name":"' || n_name || '"}},"segment":"' || c_mktsegment || '"}}') AS duri,
-            'http://kg.org/e/' || md5('{{"name":"' || n_name || '"}}') AS nuri
-          FROM src
-        ),
-        extracted AS MATERIALIZED (
-          SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
-            SELECT duri AS subject, '{_RT}' AS predicate, 'http://kg.org/onto/EXCDocument' AS object_lex,
-                   'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype FROM doc
-            UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc
-            UNION ALL SELECT duri, '{_RL}', c_name, 'literal', '{_XS}' FROM doc
-            UNION ALL SELECT duri, 'http://kg.org/prop/name', c_name, 'literal', '{_XS}' FROM doc
-            UNION ALL SELECT duri, 'http://kg.org/prop/nation', nuri, 'uri', NULL FROM doc
-            UNION ALL SELECT duri, 'http://kg.org/prop/segment', c_mktsegment, 'literal', '{_XS}' FROM doc
-            UNION ALL SELECT nuri, '{_RT}', 'http://kg.org/onto/EXCNation', 'uri', NULL FROM doc
-            UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc
-            UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc
-          )
-        ),
+        WITH {_SQL_FLAGSHIP_EXTRACT},
         seed AS MATERIALIZED (
           SELECT 'http://kg.org/nation/' || n_nationkey AS subject, '{_RT}' AS predicate,
                  'http://kg.org/onto/Nation' AS object_lex, 'uri' AS object_kind,
@@ -2592,6 +2725,50 @@ def _linkmedia_sql() -> dict:
         SELECT id AS media_id,
                unnest(generate_series(0, CAST(1000 + id % 9000 AS INT), 1000)) AS frame_ts_ms
         FROM range(300) t(id) WHERE id % 3 = 2
+    """
+
+    # greedy set cover replayed in closed form: path-sets are
+    # odd = {$.name, $.seg_<s>} and even = odd ∪ {$.extra, $.extra.a};
+    # greedy picks one even group (max gain 4; tie → min representative
+    # path string), then the remaining segments' odd groups (gain 1,
+    # smaller total set beats the same segment's even group)
+    sql["kg_json_sampler"] = """
+        WITH docs AS (
+          SELECT c_mktsegment AS seg, 'cust/' || c_custkey || '.json' AS path,
+                 c_custkey % 2 = 0 AS even
+          FROM customer
+        ),
+        groups AS (SELECT seg, even, min(path) AS rep_path FROM docs GROUP BY seg, even),
+        pick1 AS (SELECT seg, rep_path FROM groups WHERE even ORDER BY rep_path LIMIT 1),
+        odds AS (
+          SELECT g.seg, g.rep_path FROM groups g
+          WHERE NOT g.even AND g.seg NOT IN (SELECT seg FROM pick1)
+        )
+        SELECT 'org/tpch' AS repo, rep_path AS path, 4 AS n_paths FROM pick1
+        UNION ALL
+        SELECT 'org/tpch', rep_path, 2 FROM odds
+    """
+
+    # ontology extraction replayed in closed form over the same declaration
+    # fixture (domain for every property, range split xsd/object by parity,
+    # label only for even keys → URI-suffix fallback for odd)
+    sql["kg_extract_ontology"] = """
+        SELECT 'http://kg.org/prop/p_' || r_regionkey AS uri,
+               CASE WHEN r_regionkey % 2 = 0 THEN lower(r_name)
+                    ELSE 'p_' || r_regionkey END AS label,
+               CASE WHEN r_regionkey % 3 = 0 THEN r_name || '|' || r_name || ' zone'
+                    ELSE '' END AS aliases_str,
+               'http://kg.org/onto/Customer' AS domain,
+               CASE WHEN r_regionkey % 2 = 0 THEN 'http://www.w3.org/2001/XMLSchema#string'
+                    ELSE 'http://kg.org/onto/Nation' END AS "range",
+               CASE WHEN r_regionkey % 2 = 0 THEN 'false' ELSE 'true' END AS is_object_prop,
+               CAST(CASE WHEN r_regionkey % 2 = 1 THEN 1 ELSE -1 END AS INT) AS max_cardinality
+        FROM region
+    """
+
+    sql["kg_streaming_ingest"] = f"""
+        WITH {_SQL_FLAGSHIP_EXTRACT}
+        SELECT subject, predicate, object_lex, object_kind, object_datatype FROM extracted
     """
 
     return sql

@@ -55,19 +55,37 @@ def greedy_set_cover_sample(
         .select(*id_cols, json_paths(F.col("content")).alias("json_paths"))
         .filter(F.size("json_paths") > 0)
     )
-    rows = with_paths.collect()
+    # SCALE: collapse to one row per DISTINCT path-set (schema shape) before
+    # collect — greedy cover only ever needs one representative document per
+    # shape, so driver data is O(distinct shapes), not O(corpus rows).
+    # Representative = min (id_cols) struct, so the pick is deterministic.
+    rows = (
+        with_paths.groupBy("json_paths")
+        .agg(F.min(F.struct(*id_cols)).alias("_rep"))
+        .collect()
+    )
 
     universe: set[str] = set()
     docs = []
     for r in rows:
         ps = set(r["json_paths"])
         universe |= ps
-        docs.append(({c: r[c] for c in id_cols}, ps))
+        docs.append(({c: r["_rep"][c] for c in id_cols}, ps))
+    # deterministic greedy: largest gain, then smallest total set (the
+    # reference's preference for minimal documents), then min representative
+    docs.sort(key=lambda d: tuple(d[0][c] for c in id_cols))
 
     covered: set[str] = set()
     picked: list[dict] = []
     while covered != universe and len(picked) < max_docs:
-        best = max(docs, key=lambda d: (len(d[1] - covered), -len(d[1])))
+        best = min(
+            docs,
+            key=lambda d: (
+                -len(d[1] - covered),
+                len(d[1]),
+                tuple(d[0][c] for c in id_cols),
+            ),
+        )
         gain = best[1] - covered
         if not gain:
             break
