@@ -706,6 +706,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_paris_blocked_matching"] = _paris_match
 
+    # the rdf_a pipeline composition (SURVEY §3.4, pipeline.conf:7):
+    # paris_entity_matching → exchange (one target per source entity) →
+    # canonicalize source KG → fusion_first_value → type_inference
+    def _rdf_a(s, d):
+        from pyspark.sql.window import Window
+
+        from kgpipe_spark.operators.fusion import (
+            canonicalize_triples as _canon,
+            fuse_first_value as _ffv,
+        )
+        from kgpipe_spark.operators.matching import blocked_entity_matching
+
+        kg1 = _base_triples(s, d)
+        kg2 = _soft_actual(s, d)
+        matches = blocked_entity_matching(kg1, kg2, threshold=0.5, neighbor_boost=0.1)
+        w = Window.partitionBy("id_2").orderBy(F.desc("score"), F.asc("id_1"))
+        mmap = (
+            matches.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("id_2").alias("entity"), F.col("id_1").alias("canonical"))
+        )
+        canon2 = _canon(kg2, mmap)
+        fusable = s.createDataFrame([(RDFS_LABEL,), (P + "mktsegment",)], ["predicate"])
+        fused = _ffv(kg1, canon2, fusable)
+        inferred = type_inference_simple(fused, _ontology(s))
+        dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+        types = (
+            fused.filter(F.col("predicate") == RDF_TYPE)
+            .unionByName(inferred)
+            .dropDuplicates(dedup_cols)
+        )
+        return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+
+    q["kg_pipeline_rdf_a"] = _rdf_a
+
     def _fuse_union(s, d):
         from kgpipe_spark.operators.fusion import fuse_union
 
@@ -2324,6 +2359,98 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.score >= 0.0
         )
         SELECT * FROM boosted WHERE score >= 0.5
+    """
+
+    # rdf_a composition: the paris CTE chain feeds exchange → canonicalize →
+    # seed-priority first-value fusion → type inference, all in one query
+    sql["kg_pipeline_rdf_a"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_TOKENS},
+        n1 AS (SELECT DISTINCT subject AS id_1, object_lex AS nbr FROM triples WHERE object_kind = 'uri'),
+        n2 AS (SELECT DISTINCT subject AS id_2, object_lex AS nbr FROM soft_actual WHERE object_kind = 'uri'),
+        shared AS (
+          SELECT s.id_1, s.id_2, count(*) AS shared
+          FROM scored s
+          JOIN n1 ON n1.id_1 = s.id_1
+          JOIN n2 ON n2.id_2 = s.id_2 AND n2.nbr = n1.nbr
+          GROUP BY s.id_1, s.id_2
+        ),
+        boosted AS MATERIALIZED (
+          SELECT s.id_1, s.id_2,
+                 least(CAST(1.0 AS DOUBLE),
+                       s.score + coalesce(sh.shared, 0) * CAST(0.1 AS DOUBLE)) AS score
+          FROM scored s LEFT JOIN shared sh ON s.id_1 = sh.id_1 AND s.id_2 = sh.id_2
+          WHERE s.score >= 0.0
+        ),
+        mmap AS MATERIALIZED (
+          SELECT id_2 AS entity, id_1 AS canonical FROM (
+            SELECT *, row_number() OVER (PARTITION BY id_2 ORDER BY score DESC, id_1 ASC) AS rn
+            FROM boosted WHERE score >= 0.5
+          ) WHERE rn = 1
+        ),
+        canon2 AS MATERIALIZED (
+          SELECT coalesce(m1.canonical, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(m2.canonical, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind, t.object_datatype
+          FROM soft_actual t
+          LEFT JOIN mmap m1 ON m1.entity = t.subject
+          LEFT JOIN mmap m2 ON m2.entity = t.object_lex AND t.object_kind = 'uri'
+        ),
+        src_fusable AS (
+          SELECT * FROM canon2 WHERE predicate IN ('{_RL}', 'http://kg.org/prop/mktsegment')
+        ),
+        src_rest AS (
+          SELECT * FROM canon2 WHERE predicate NOT IN ('{_RL}', 'http://kg.org/prop/mktsegment')
+        ),
+        seed_sp AS (SELECT DISTINCT subject, predicate FROM triples),
+        new_fusable AS (
+          SELECT f.* FROM src_fusable f ANTI JOIN seed_sp sp USING (subject, predicate)
+        ),
+        first_vals AS (
+          SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
+            ) AS rn FROM new_fusable
+          ) WHERE rn = 1
+        ),
+        new_rest AS (
+          SELECT r.* FROM src_rest r
+          ANTI JOIN (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM triples) s
+            USING (subject, predicate, object_lex, object_kind)
+        ),
+        fused AS MATERIALIZED (
+          SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+          FROM (
+            SELECT * FROM triples
+            UNION ALL SELECT * FROM first_vals
+            UNION ALL SELECT * FROM new_rest
+          ) GROUP BY subject, predicate, object_lex, object_kind
+        ),
+        onto AS (
+          SELECT 'http://kg.org/prop/nation' AS uri, 'http://kg.org/onto/Customer' AS dom, 'http://kg.org/onto/Nation' AS rng
+          UNION ALL SELECT 'http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region'
+          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#decimal'
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#string'
+        ),
+        joined AS (SELECT t.*, o.dom, o.rng FROM fused t JOIN onto o ON t.predicate = o.uri),
+        inferred AS (
+          SELECT subject, '{_RT}' AS predicate, dom AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype
+          FROM joined WHERE dom IS NOT NULL
+          UNION ALL
+          SELECT object_lex, '{_RT}', rng, 'uri', NULL
+          FROM joined WHERE rng IS NOT NULL AND object_kind = 'uri'
+        ),
+        types AS (
+          SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+          FROM (
+            SELECT * FROM fused WHERE predicate = '{_RT}'
+            UNION ALL SELECT * FROM inferred
+          ) GROUP BY subject, predicate, object_lex, object_kind
+        )
+        SELECT * FROM fused WHERE predicate <> '{_RT}'
+        UNION ALL SELECT * FROM types
     """
 
     sql["kg_json_extract"] = f"""
