@@ -116,19 +116,29 @@ def cosine_pairs(
     left: DataFrame,
     right: DataFrame,
     max_block: int = DEFAULT_MAX_BLOCK,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """(left.id, right.id, cos) candidate pairs with exact cosine.
 
-    left/right: (id, text). Candidate generation is a PREFIX FILTER with a
-    global rarity order (ppjoin-style): each string keeps only its
-    ``⌊n/10⌋+2`` globally-rarest grams (rank by total frequency, then gram),
-    and a pair is a candidate iff the kept prefixes intersect — for the
-    near-identical strings the 0.95 threshold accepts, the gram sets overlap
-    ~90%+, so their rarity prefixes must collide. This keeps candidates
-    LINEAR in corpus size where share-any-gram blocking grows quadratically
-    in every mid-frequency gram's block (measured: minutes vs seconds at
-    10× data). Grams hotter than ``max_block`` on either side are dropped
-    first. The dot product itself is exact over all 64 bins.
+    left/right: (id, text). With ``prefix_filter`` (the default), candidate
+    generation is a PREFIX FILTER with a global rarity order (ppjoin-style):
+    each string keeps only its ``⌊n/10⌋+2`` globally-rarest grams (rank by
+    total frequency, then gram), and a pair is a candidate iff the kept
+    prefixes intersect — for the near-identical strings a 0.95 threshold
+    accepts, the gram sets overlap ~90%+, so their rarity prefixes must
+    collide. This keeps candidates LINEAR in corpus size where
+    share-any-gram blocking grows quadratically in every mid-frequency
+    gram's block (measured: minutes vs seconds at 10× data).
+
+    ``prefix_filter=False`` falls back to share-any-(non-hot)-gram blocking.
+    REQUIRED for top-1/argmax consumers (label_alias_embedding_rl links
+    every surface to its best property with NO threshold): the rarity
+    prefix of two moderately-similar strings is dominated by exactly the
+    grams they DON'T share, so it can miss the argmax pair entirely — only
+    use the prefix path when a high (≥0.9) similarity cut is applied
+    downstream. Grams hotter than ``max_block`` on either side are dropped
+    from candidate generation in both modes. The dot product itself is
+    exact over all 64 bins.
     """
     lg = _grams_distinct(left, "id", "text")
     rg = _grams_distinct(right, "id", "text")
@@ -157,9 +167,10 @@ def cosine_pairs(
             .select("id", "g")
         )
 
+    lg_c = prefix(lg) if prefix_filter else lg.join(keep.select("g"), "g")
+    rg_c = prefix(rg) if prefix_filter else rg.join(keep.select("g"), "g")
     cand = (
-        prefix(lg)
-        .join(prefix(rg).withColumnRenamed("id", "rid"), "g")
+        lg_c.join(rg_c.withColumnRenamed("id", "rid"), "g")
         .select(F.col("id").alias("lid"), "rid")
         .distinct()
     )

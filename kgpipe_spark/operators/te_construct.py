@@ -399,7 +399,10 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
     mentions = surfaces.select(F.col("span").alias("id")).distinct().withColumn(
         "text", normalize_label(F.col("id"))
     )
-    pairs = cosine_pairs(mentions, props)
+    # prefix_filter=False: this is a TOP-1 link with no similarity cut —
+    # candidate generation must be recall-complete over shared grams, and
+    # the props side is ontology-sized so any-gram blocking stays tiny
+    pairs = cosine_pairs(mentions, props, prefix_filter=False)
     best = (
         pairs.withColumn(
             "rn",
