@@ -121,15 +121,18 @@ def fuse_first_value(
       → left_anti on (s,p,o).
     Result = seed ∪ surviving source triples, deduped.
 
-    SHUFFLE PLAN (the 100 TB-critical part): the source KG crosses exactly
-    ONE exchange — ``repartition(subject, predicate)``. Every downstream
-    step is partition-local because HashPartitioning(s, p) satisfies the
-    clustering of every later grouping: the 4-col dedupe-aggregate
-    (groupBy s,p,o,kind), the fusable first-value pick (groupBy s,p), and
-    the predicate splits (broadcast semi/anti). Spark reuses the single
-    exchange across the fusable/rest branches (ReusedExchange), so the
-    round-1 plan's three full-KG shuffles (pre-dedupe, pick, final
-    dropDuplicates) collapse into one.
+    SHUFFLE PLAN (the 100 TB-critical part): the source KG crosses ONE
+    full-KG-pass of shuffle volume — ``repartition(subject, predicate)``,
+    behind which every downstream step is partition-local because
+    HashPartitioning(s, p) satisfies the clustering of every later
+    grouping: the 4-col dedupe-aggregate (groupBy s,p,o,kind) and the
+    fusable first-value pick (groupBy s,p). Catalyst additionally pushes
+    each branch's fusable semi/anti broadcast filter BELOW the repartition,
+    so the fusable and rest branches shuffle DISJOINT subsets (combined
+    bytes = one KG, filtered before the wire) while the broadcast fusable
+    set is reused across branches; feed a cached/parquet source so the
+    twin filtered scans hit storage pruning instead of recompute.
+    ``scripts/plan_audit.py`` asserts this shape stays true.
 
     Output datatypes are pinned deterministically (the old dropDuplicates
     kept an arbitrary row): rest triples carry min(object_datatype) per
