@@ -43,7 +43,27 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# shared-input cache: most kg_* queries derive from the same base/actual
+# triple views; without it every query (and every branch duplicated by the
+# planner) re-evaluates the 11-branch unpivot union from parquet — measured
+# 9.9s → 2.0s for kg_fuse_first_value at sf0.1. persist() is semantically
+# transparent; keyed by (spark application, sf_dir) so driver reruns across
+# scale factors or restarted sessions never alias.
+_SHARED_VIEW_CACHE: dict = {}
+
+
+def _cached_view(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SHARED_VIEW_CACHE:
+        _SHARED_VIEW_CACHE[key] = build().persist()
+    return _SHARED_VIEW_CACHE[key]
+
+
 def _base_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_view(spark, sf_dir, "base", lambda: _base_triples_build(spark, sf_dir))
+
+
+def _base_triples_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer/nation/region → triples (the relational 'extraction')."""
     from kgpipe_spark.operators.extract import unpivot_to_triples
 
@@ -1276,6 +1296,10 @@ DUP = KG_NS + "dup/"
 
 
 def _soft_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_view(spark, sf_dir, "soft_actual", lambda: _soft_actual_build(spark, sf_dir))
+
+
+def _soft_actual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 'actual KG' for soft metrics: k%4==0 customers kept
     as-is, k%4==1 re-minted under dup/ with a '(alt)' label (cleans back to
     the original → soft-mappable), k%4==2 re-minted with a reversed label
