@@ -1453,6 +1453,31 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
     q["rel_q1_pricing_summary"] = _q1
 
+    # star join over the two remaining dims: fact lineitem joins part /
+    # supplier / nation as BROADCAST dims (all three are cluster-small even
+    # at 100 TB fact scale), then a partial-aggregated rollup
+    def _supplier_part(s, d):
+        li = _read(s, d, "lineitem")
+        part = _read(s, d, "part")
+        sup = _read(s, d, "supplier")
+        nat = _read(s, d, "nation")
+        dec = lambda c: c.cast("decimal(20,4)")
+        quant = lambda c: (F.floor(c * 10000).cast("decimal(30,0)") / 10000).cast("decimal(20,4)")
+        dbl = lambda c: (c * 10000).cast("long") / F.lit(10000.0)
+        rev = quant(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        j = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        )
+        return j.groupBy("n_name", "p_brand").agg(
+            dbl(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+
+    q["rel_supplier_part_rollup"] = _supplier_part
+
     def _q3(s, d):
         cust = _read(s, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
         orders = _read(s, d, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
@@ -3274,6 +3299,18 @@ def _relational_sql() -> dict[str, str]:
                round((CAST(_sum_base_price * 10000 AS BIGINT) / 10000.0) / count_order, 6) AS avg_price,
                count_order
         FROM g
+    """
+
+    sql["rel_supplier_part_rollup"] = """
+        SELECT n_name, p_brand,
+               CAST(sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) * 10000 AS BIGINT) / 10000.0 AS revenue,
+               count(*) AS n_lines,
+               count(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, p_brand
     """
 
     sql["rel_q3_top10"] = """
