@@ -207,6 +207,8 @@ triples AS (
   SELECT 'http://kg.org/region/' || r_regionkey, '{_RL}', r_name, 'literal', '{_XS}' FROM region
 )"""
 
+_SQL_NORM = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
+
 # the flagship corpus is ONE fixed JSON template per customer, so the
 # pandas-UDF extraction collapses to closed-form per-column md5 minting —
 # shared by the kg_flagship_stats and kg_streaming_ingest oracles
@@ -234,6 +236,99 @@ _SQL_FLAGSHIP_EXTRACT = f"""src AS (
             UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc
             UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc
           )
+        )"""
+
+# full closed-form flagship replay (extract → link → CC → compose →
+# first-value fuse): ends at CTEs `unioned` (pre-grouping) / `seed`; the
+# flagship oracle groups it to the final 5-col KG, the stats oracle counts
+# it. Type inference adds nothing for this corpus (no flagship-ontology
+# predicate is ever extracted from the JSON template), which the Spark side
+# executes and the hash equality therefore proves.
+_SQL_FLAGSHIP_CHAIN = f"""{{extract}},
+        seed AS MATERIALIZED (
+          SELECT 'http://kg.org/nation/' || n_nationkey AS subject, '{_RT}' AS predicate,
+                 'http://kg.org/onto/Nation' AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype FROM nation
+          UNION ALL
+          SELECT 'http://kg.org/nation/' || n_nationkey, '{_RL}', n_name, 'literal', '{_XS}' FROM nation
+          UNION ALL
+          SELECT 'http://kg.org/nation/' || n_nationkey, 'http://kg.org/prop/region',
+                 'http://kg.org/region/' || n_regionkey, 'uri', NULL FROM nation
+          UNION ALL
+          SELECT 'http://kg.org/region/' || r_regionkey, '{_RT}', 'http://kg.org/onto/Region', 'uri', NULL FROM region
+          UNION ALL
+          SELECT 'http://kg.org/region/' || r_regionkey, '{_RL}', r_name, 'literal', '{_XS}' FROM region
+        ),
+        dict_best AS (
+          SELECT norm, min(uri) AS mapping FROM (
+            SELECT subject AS uri, {_SQL_NORM.format(c='object_lex')} AS norm
+            FROM seed WHERE predicate = '{_RL}'
+          ) GROUP BY norm
+        ),
+        lmap AS MATERIALIZED (
+          SELECT entity, min(canonical) AS canonical FROM (
+            SELECT e.subject AS entity, db.mapping AS canonical
+            FROM (SELECT subject, object_lex FROM extracted WHERE predicate = '{_RL}') e
+            JOIN dict_best db ON {_SQL_NORM.format(c='e.object_lex')} = db.norm
+            WHERE db.mapping <> e.subject
+          ) GROUP BY entity
+        ),
+        label_pairs AS (
+          SELECT DISTINCT coalesce(m.canonical, e.subject) AS subject,
+                 {_SQL_NORM.format(c='e.object_lex')} AS norm
+          FROM (SELECT subject, object_lex FROM extracted WHERE predicate = '{_RL}') e
+          LEFT JOIN lmap m ON e.subject = m.entity
+        ),
+        canon AS (
+          -- star-edge CC: each same-norm group collapses to its min subject
+          -- (groups are disjoint here: every extracted entity has one label)
+          SELECT subject AS entity, min_s AS canonical FROM (
+            SELECT subject, min(subject) OVER (PARTITION BY norm) AS min_s,
+                   count(*) OVER (PARTITION BY norm) AS grp_n
+            FROM label_pairs
+          ) WHERE grp_n > 1 AND subject <> min_s
+        ),
+        composed AS MATERIALIZED (
+          SELECT entity, canonical FROM (
+            SELECT l.entity, coalesce(c.canonical, l.canonical) AS canonical
+            FROM lmap l LEFT JOIN canon c ON l.canonical = c.entity
+            UNION ALL
+            SELECT c.entity, c.canonical FROM canon c
+            WHERE NOT EXISTS (SELECT 1 FROM lmap l WHERE l.entity = c.entity)
+          ) WHERE entity <> canonical
+        ),
+        canonical_kg AS MATERIALIZED (
+          SELECT coalesce(ms.canonical, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(mo.canonical, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind, t.object_datatype
+          FROM extracted t
+          LEFT JOIN composed ms ON t.subject = ms.entity
+          LEFT JOIN composed mo ON t.object_kind = 'uri' AND t.object_lex = mo.entity
+        ),
+        fusable(predicate) AS (VALUES ('{_RL}'), ('{_RT}'),
+          ('http://kg.org/prop/director'), ('http://kg.org/prop/directed_by')),
+        src_fusable AS (SELECT * FROM canonical_kg WHERE predicate IN (SELECT predicate FROM fusable)),
+        src_rest AS (SELECT * FROM canonical_kg WHERE predicate NOT IN (SELECT predicate FROM fusable)),
+        seed_sp AS (SELECT DISTINCT subject, predicate FROM seed),
+        new_fusable AS (
+          SELECT f.* FROM src_fusable f ANTI JOIN seed_sp sp USING (subject, predicate)
+        ),
+        first_vals AS (
+          SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
+            ) AS rn FROM new_fusable
+          ) WHERE rn = 1
+        ),
+        new_rest AS (
+          SELECT r.* FROM src_rest r
+          ANTI JOIN (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM seed) s
+            USING (subject, predicate, object_lex, object_kind)
+        ),
+        unioned AS (
+          SELECT * FROM seed UNION ALL SELECT * FROM first_vals UNION ALL SELECT * FROM new_rest
         )"""
 
 SQL_MATCHES = """
@@ -2209,93 +2304,9 @@ def oracle_sql() -> dict[str, str]:
 
     _NORM = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
     sql["kg_flagship_stats"] = f"""
-        WITH {_SQL_FLAGSHIP_EXTRACT},
-        seed AS MATERIALIZED (
-          SELECT 'http://kg.org/nation/' || n_nationkey AS subject, '{_RT}' AS predicate,
-                 'http://kg.org/onto/Nation' AS object_lex, 'uri' AS object_kind,
-                 CAST(NULL AS VARCHAR) AS object_datatype FROM nation
-          UNION ALL
-          SELECT 'http://kg.org/nation/' || n_nationkey, '{_RL}', n_name, 'literal', '{_XS}' FROM nation
-          UNION ALL
-          SELECT 'http://kg.org/nation/' || n_nationkey, 'http://kg.org/prop/region',
-                 'http://kg.org/region/' || n_regionkey, 'uri', NULL FROM nation
-          UNION ALL
-          SELECT 'http://kg.org/region/' || r_regionkey, '{_RT}', 'http://kg.org/onto/Region', 'uri', NULL FROM region
-          UNION ALL
-          SELECT 'http://kg.org/region/' || r_regionkey, '{_RL}', r_name, 'literal', '{_XS}' FROM region
-        ),
-        dict_best AS (
-          SELECT norm, min(uri) AS mapping FROM (
-            SELECT subject AS uri, {_NORM.format(c='object_lex')} AS norm
-            FROM seed WHERE predicate = '{_RL}'
-          ) GROUP BY norm
-        ),
-        lmap AS MATERIALIZED (
-          SELECT entity, min(canonical) AS canonical FROM (
-            SELECT e.subject AS entity, db.mapping AS canonical
-            FROM (SELECT subject, object_lex FROM extracted WHERE predicate = '{_RL}') e
-            JOIN dict_best db ON {_NORM.format(c='e.object_lex')} = db.norm
-            WHERE db.mapping <> e.subject
-          ) GROUP BY entity
-        ),
-        label_pairs AS (
-          SELECT DISTINCT coalesce(m.canonical, e.subject) AS subject,
-                 {_NORM.format(c='e.object_lex')} AS norm
-          FROM (SELECT subject, object_lex FROM extracted WHERE predicate = '{_RL}') e
-          LEFT JOIN lmap m ON e.subject = m.entity
-        ),
-        canon AS (
-          -- star-edge CC: each same-norm group collapses to its min subject
-          -- (groups are disjoint here: every extracted entity has one label)
-          SELECT subject AS entity, min_s AS canonical FROM (
-            SELECT subject, min(subject) OVER (PARTITION BY norm) AS min_s,
-                   count(*) OVER (PARTITION BY norm) AS grp_n
-            FROM label_pairs
-          ) WHERE grp_n > 1 AND subject <> min_s
-        ),
-        composed AS MATERIALIZED (
-          SELECT entity, canonical FROM (
-            SELECT l.entity, coalesce(c.canonical, l.canonical) AS canonical
-            FROM lmap l LEFT JOIN canon c ON l.canonical = c.entity
-            UNION ALL
-            SELECT c.entity, c.canonical FROM canon c
-            WHERE NOT EXISTS (SELECT 1 FROM lmap l WHERE l.entity = c.entity)
-          ) WHERE entity <> canonical
-        ),
-        canonical_kg AS MATERIALIZED (
-          SELECT coalesce(ms.canonical, t.subject) AS subject, t.predicate,
-                 CASE WHEN t.object_kind = 'uri' THEN coalesce(mo.canonical, t.object_lex)
-                      ELSE t.object_lex END AS object_lex,
-                 t.object_kind, t.object_datatype
-          FROM extracted t
-          LEFT JOIN composed ms ON t.subject = ms.entity
-          LEFT JOIN composed mo ON t.object_kind = 'uri' AND t.object_lex = mo.entity
-        ),
-        fusable(predicate) AS (VALUES ('{_RL}'), ('{_RT}'),
-          ('http://kg.org/prop/director'), ('http://kg.org/prop/directed_by')),
-        src_fusable AS (SELECT * FROM canonical_kg WHERE predicate IN (SELECT predicate FROM fusable)),
-        src_rest AS (SELECT * FROM canonical_kg WHERE predicate NOT IN (SELECT predicate FROM fusable)),
-        seed_sp AS (SELECT DISTINCT subject, predicate FROM seed),
-        new_fusable AS (
-          SELECT f.* FROM src_fusable f ANTI JOIN seed_sp sp USING (subject, predicate)
-        ),
-        first_vals AS (
-          SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY subject, predicate
-              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
-            ) AS rn FROM new_fusable
-          ) WHERE rn = 1
-        ),
-        new_rest AS (
-          SELECT r.* FROM src_rest r
-          ANTI JOIN (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM seed) s
-            USING (subject, predicate, object_lex, object_kind)
-        ),
+        WITH {_SQL_FLAGSHIP_CHAIN.format(extract=_SQL_FLAGSHIP_EXTRACT)},
         completed AS MATERIALIZED (
-          SELECT DISTINCT subject, predicate, object_lex, object_kind FROM (
-            SELECT * FROM seed UNION ALL SELECT * FROM first_vals UNION ALL SELECT * FROM new_rest
-          )
+          SELECT DISTINCT subject, predicate, object_lex, object_kind FROM unioned
         ),
         ents AS (
           SELECT subject AS e FROM completed
@@ -2307,6 +2318,17 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(DISTINCT predicate) FROM completed) AS BIGINT) AS n_relations,
                CAST((SELECT count(DISTINCT subject) FROM completed) AS BIGINT) AS n_subjects,
                CAST((SELECT count(DISTINCT object_lex) FROM completed WHERE predicate = '{_RT}') AS BIGINT) AS n_classes
+    """
+
+    # FULL flagship oracle: the same closed-form replay, emitting the final
+    # 5-col KG (min-datatype grouping = fuse_first_value's deterministic
+    # datatype pin). This upgrades the flagship from a rows-only driver row
+    # to a bit-exact hash comparison.
+    sql["kg_flagship_pipeline"] = f"""
+        WITH {_SQL_FLAGSHIP_CHAIN.format(extract=_SQL_FLAGSHIP_EXTRACT)}
+        SELECT subject, predicate, object_lex, object_kind,
+               min(object_datatype) AS object_datatype
+        FROM unioned GROUP BY subject, predicate, object_lex, object_kind
     """
 
     sql["kg_ntriples_roundtrip"] = f"""
