@@ -856,6 +856,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pipeline_rdf_a"] = _rdf_a
 
+    # the rdf_b pipeline composition (SURVEY §3.4, pipeline.conf:21):
+    # pyjedai-style token blocking → greedy 1:1 reduction → valentine-style
+    # relation matches → aggregate_2matches → relation rewrite +
+    # canonicalize → fusion_first_value → type_inference
+    def _rdf_b(s, d):
+        from kgpipe_spark.operators.cluster import best_match_1to1
+        from kgpipe_spark.operators.fusion import (
+            aggregate_matches,
+            canonicalize_triples as _canon,
+            fuse_first_value as _ffv,
+        )
+        from kgpipe_spark.operators.matching import (
+            map_matched_relations,
+            token_blocking_matches,
+        )
+
+        kg1 = _base_triples(s, d)
+        kg2 = _soft_actual(s, d)
+        ent = token_blocking_matches(kg1, kg2, threshold=0.3)
+        best = best_match_1to1(ent)
+        rel = s.createDataFrame(
+            [
+                (P + "mktsegment", P + "segment", 0.9, "str"),
+                (P + "acctbal", P + "balance", 0.3, "str"),
+            ],
+            "id_1 string, id_2 string, score double, id_type string",
+        )
+        allm = aggregate_matches(best, rel)
+        mmap = (
+            allm.filter(F.col("id_type") == "entity")
+            .groupBy(F.col("id_2").alias("entity"))
+            .agg(F.min("id_1").alias("canonical"))
+        )
+        canon2 = map_matched_relations(_canon(kg2, mmap), allm)
+        fusable = s.createDataFrame([(RDFS_LABEL,), (P + "mktsegment",)], ["predicate"])
+        fused = _ffv(kg1, canon2, fusable)
+        inferred = type_inference_simple(fused, _ontology(s))
+        dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+        types = (
+            fused.filter(F.col("predicate") == RDF_TYPE)
+            .unionByName(inferred)
+            .dropDuplicates(dedup_cols)
+        )
+        return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+
+    q["kg_pipeline_rdf_b"] = _rdf_b
+
     def _fuse_union(s, d):
         from kgpipe_spark.operators.fusion import fuse_union
 
@@ -2466,6 +2513,119 @@ def oracle_sql() -> dict[str, str]:
           FROM soft_actual t
           LEFT JOIN mmap m1 ON m1.entity = t.subject
           LEFT JOIN mmap m2 ON m2.entity = t.object_lex AND t.object_kind = 'uri'
+        ),
+        src_fusable AS (
+          SELECT * FROM canon2 WHERE predicate IN ('{_RL}', 'http://kg.org/prop/mktsegment')
+        ),
+        src_rest AS (
+          SELECT * FROM canon2 WHERE predicate NOT IN ('{_RL}', 'http://kg.org/prop/mktsegment')
+        ),
+        seed_sp AS (SELECT DISTINCT subject, predicate FROM triples),
+        new_fusable AS (
+          SELECT f.* FROM src_fusable f ANTI JOIN seed_sp sp USING (subject, predicate)
+        ),
+        first_vals AS (
+          SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
+            ) AS rn FROM new_fusable
+          ) WHERE rn = 1
+        ),
+        new_rest AS (
+          SELECT r.* FROM src_rest r
+          ANTI JOIN (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM triples) s
+            USING (subject, predicate, object_lex, object_kind)
+        ),
+        fused AS MATERIALIZED (
+          SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+          FROM (
+            SELECT * FROM triples
+            UNION ALL SELECT * FROM first_vals
+            UNION ALL SELECT * FROM new_rest
+          ) GROUP BY subject, predicate, object_lex, object_kind
+        ),
+        onto AS (
+          SELECT 'http://kg.org/prop/nation' AS uri, 'http://kg.org/onto/Customer' AS dom, 'http://kg.org/onto/Nation' AS rng
+          UNION ALL SELECT 'http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region'
+          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#decimal'
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#string'
+        ),
+        joined AS (SELECT t.*, o.dom, o.rng FROM fused t JOIN onto o ON t.predicate = o.uri),
+        inferred AS (
+          SELECT subject, '{_RT}' AS predicate, dom AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype
+          FROM joined WHERE dom IS NOT NULL
+          UNION ALL
+          SELECT object_lex, '{_RT}', rng, 'uri', NULL
+          FROM joined WHERE rng IS NOT NULL AND object_kind = 'uri'
+        ),
+        types AS (
+          SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+          FROM (
+            SELECT * FROM fused WHERE predicate = '{_RT}'
+            UNION ALL SELECT * FROM inferred
+          ) GROUP BY subject, predicate, object_lex, object_kind
+        )
+        SELECT * FROM fused WHERE predicate <> '{_RT}'
+        UNION ALL SELECT * FROM types
+    """
+
+    # rdf_b composition: token blocking → 3-round unrolled greedy 1:1
+    # (converges in 1 on this fixture; extra rounds are empty and harmless)
+    # → aggregate matches → relation rewrite + canonicalize → fusion →
+    # type inference
+    sql["kg_pipeline_rdf_b"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL}, {_SQL_TOKENS},
+        ent AS (
+          SELECT *, sha256(id_1 || chr(1) || id_2) AS pk FROM scored WHERE score >= 0.3
+        ),
+        {_round_sql('ent', 'b1')},
+        used1 AS (SELECT id_1 AS node FROM b1 UNION SELECT id_2 FROM b1),
+        rem1 AS (
+          SELECT e.* FROM ent e
+          WHERE e.id_1 NOT IN (SELECT node FROM used1) AND e.id_2 NOT IN (SELECT node FROM used1)
+        ),
+        {_round_sql('rem1', 'b2')},
+        used2 AS (SELECT node FROM used1 UNION SELECT id_1 FROM b2 UNION SELECT id_2 FROM b2),
+        rem2 AS (
+          SELECT e.* FROM ent e
+          WHERE e.id_1 NOT IN (SELECT node FROM used2) AND e.id_2 NOT IN (SELECT node FROM used2)
+        ),
+        {_round_sql('rem2', 'b3')},
+        best AS (
+          SELECT id_1, id_2, score, id_type FROM b1
+          UNION ALL SELECT id_1, id_2, score, id_type FROM b2
+          UNION ALL SELECT id_1, id_2, score, id_type FROM b3
+        ),
+        rel(id_1, id_2, score, id_type) AS (VALUES
+          ('http://kg.org/prop/mktsegment', 'http://kg.org/prop/segment', 0.9, 'str'),
+          ('http://kg.org/prop/acctbal', 'http://kg.org/prop/balance', 0.3, 'str')),
+        allm AS MATERIALIZED (
+          SELECT id_1, id_2, min(score) AS score, id_type FROM (
+            SELECT id_1, id_2, score,
+                   CASE WHEN id_type = 'str' THEN 'relation' ELSE id_type END AS id_type
+            FROM (SELECT * FROM best UNION ALL SELECT * FROM rel)
+          ) GROUP BY id_1, id_2, id_type
+        ),
+        mmap AS MATERIALIZED (
+          SELECT id_2 AS entity, min(id_1) AS canonical FROM allm
+          WHERE id_type = 'entity' GROUP BY id_2
+        ),
+        relmap AS (
+          SELECT id_1 AS predicate, min(id_2) AS mapped FROM allm
+          WHERE id_type = 'relation' AND score > 0.5 GROUP BY id_1
+        ),
+        canon2 AS MATERIALIZED (
+          SELECT coalesce(m1.canonical, t.subject) AS subject,
+                 coalesce(rm.mapped, t.predicate) AS predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(m2.canonical, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind, t.object_datatype
+          FROM soft_actual t
+          LEFT JOIN mmap m1 ON m1.entity = t.subject
+          LEFT JOIN mmap m2 ON m2.entity = t.object_lex AND t.object_kind = 'uri'
+          LEFT JOIN relmap rm ON rm.predicate = t.predicate
         ),
         src_fusable AS (
           SELECT * FROM canon2 WHERE predicate IN ('{_RL}', 'http://kg.org/prop/mktsegment')
