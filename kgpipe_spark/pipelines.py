@@ -202,9 +202,11 @@ def _stage_link_canonicalize(
     # entity linking: map extracted entities onto seed URIs by label — the
     # map only (the expensive full-KG rewrite is deferred and fused with the
     # CC rewrite below into a single pass)
-    # alias-sized map: eagerly materialized (several consumers — the label
-    # rewrite, the composition, and each one's broadcast-size probe)
-    lmap = link_map(extracted, dictionary).localCheckpoint(eager=True)
+    # alias-sized map, three consumers (label rewrite, composition,
+    # broadcast probes): lazy persist — measured equal to an eager
+    # localCheckpoint warm, and it removes a sequential materialization
+    # job barrier on the cold path
+    lmap = link_map(extracted, dictionary).persist()
 
     # canonicalization: same-label entities (post-linking) → connected
     # components, computed on the label rows only (a small projection of the
@@ -231,7 +233,7 @@ def _stage_link_canonicalize(
     canon = canonical_map(components, prefer_namespace=KG_NS + "person/")
 
     # ONE rewrite pass over the full KG with the composed link∘CC map
-    composed = compose_maps(lmap, canon).localCheckpoint(eager=True)
+    composed = compose_maps(lmap, canon).persist()
     return canonicalize_triples(extracted, composed)
 
 
