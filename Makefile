@@ -1,4 +1,4 @@
-.PHONY: test oracle bench scaling pyfiles
+.PHONY: test oracle bench scaling pyfiles audit smoke
 
 test:
 	python -m pytest tests/ -x -q
@@ -18,3 +18,6 @@ pyfiles:
 
 smoke:
 	python jobs/run_pipeline.py --master 'local[8]' --rows 30000
+
+audit:
+	python scripts/plan_audit.py
