@@ -687,6 +687,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_domain_violations"] = _domain_viol
 
+    # cleaning: subtract every triple the semantic validators flag
+    # (clean.py:10-11 intent; the reference ships a NotImplementedError stub)
+    def _remove_inconsistent(s, d):
+        from kgpipe_spark.operators.transform import remove_inconsistent_triples
+
+        k = F.regexp_extract("subject", r"(\d+)$", 1).cast("bigint")
+        base = (
+            _base_triples(s, d)
+            .withColumn(
+                "object_lex",
+                F.when(
+                    (F.col("predicate") == RDF_TYPE)
+                    & F.col("subject").startswith(CUST)
+                    & (k % 9 == 0),
+                    F.lit(O + "Supplier"),
+                ).otherwise(F.col("object_lex")),
+            )
+            .withColumn(
+                "object_datatype",
+                F.when(
+                    (F.col("predicate") == P + "acctbal") & (k % 11 == 0),
+                    F.lit(XSD_STRING),
+                ).otherwise(F.col("object_datatype")),
+            )
+        )
+        return remove_inconsistent_triples(base, _ontology(s))
+
+    q["kg_remove_inconsistent"] = _remove_inconsistent
+
     def _datatype_viol(s, d):
         from kgpipe_spark.eval.semantic import datatype_violations
 
@@ -2231,6 +2260,56 @@ def oracle_sql() -> dict[str, str]:
         FROM mutated t JOIN dom d ON t.predicate = d.uri
         JOIN typed ty ON ty.subject = t.subject
         WHERE ty.cls <> d.dmn
+    """
+
+    sql["kg_remove_inconsistent"] = f"""
+        WITH {SQL_TRIPLES},
+        mutated AS (
+          SELECT subject, predicate,
+                 CASE WHEN predicate = '{_RT}' AND subject LIKE 'http://kg.org/cust/%'
+                           AND CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 9 = 0
+                      THEN 'http://kg.org/onto/Supplier' ELSE object_lex END AS object_lex,
+                 object_kind,
+                 CASE WHEN predicate = 'http://kg.org/prop/acctbal'
+                           AND CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 11 = 0
+                      THEN '{_XS}' ELSE object_datatype END AS object_datatype
+          FROM triples
+        ),
+        onto(uri, dmn, rng, is_obj) AS (VALUES
+          ('http://kg.org/prop/nation', 'http://kg.org/onto/Customer', 'http://kg.org/onto/Nation', 'true'),
+          ('http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region', 'true'),
+          ('http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', '{_XD}', 'false'),
+          ('http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', '{_XS}', 'false')),
+        typed AS (SELECT subject, object_lex AS cls FROM mutated WHERE predicate = '{_RT}'),
+        bad_sp AS (
+          SELECT DISTINCT t.subject, t.predicate
+          FROM mutated t JOIN onto o ON t.predicate = o.uri
+          JOIN typed ty ON ty.subject = t.subject
+          WHERE o.dmn IS NOT NULL AND ty.cls <> o.dmn
+        ),
+        bad_spo AS (
+          -- range: URI object typed against a non-xsd declared range
+          SELECT DISTINCT t.subject, t.predicate, t.object_lex
+          FROM mutated t JOIN onto o ON t.predicate = o.uri
+          JOIN typed ty ON ty.subject = t.object_lex
+          WHERE t.object_kind = 'uri' AND o.rng NOT LIKE 'http://www.w3.org/2001/XMLSchema#%'
+            AND ty.cls <> o.rng
+          UNION
+          -- datatype: literal dt against an xsd declared range
+          SELECT t.subject, t.predicate, t.object_lex
+          FROM mutated t JOIN onto o ON t.predicate = o.uri
+          WHERE t.object_kind = 'literal' AND o.rng LIKE 'http://www.w3.org/2001/XMLSchema#%'
+            AND coalesce(t.object_datatype, '') <> o.rng
+          UNION
+          -- property kind: object prop with literal / datatype prop with URI
+          SELECT t.subject, t.predicate, t.object_lex
+          FROM mutated t JOIN onto o ON t.predicate = o.uri
+          WHERE (o.is_obj = 'true' AND t.object_kind = 'literal')
+             OR (o.is_obj = 'false' AND t.object_kind = 'uri')
+        )
+        SELECT t.* FROM mutated t
+        ANTI JOIN bad_sp USING (subject, predicate)
+        ANTI JOIN bad_spo USING (subject, predicate, object_lex)
     """
 
     sql["kg_datatype_violations"] = f"""

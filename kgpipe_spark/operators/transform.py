@@ -145,6 +145,46 @@ def parse_ntriples(lines: DataFrame, drop_alt_labels: bool = True) -> DataFrame:
     return out
 
 
+def remove_inconsistent_triples(triples: DataFrame, ontology: DataFrame) -> DataFrame:
+    """Subtract ontology-inconsistent triples — implements the intent of
+    ``remove_inconsistent_rdf_triples``
+    (`/root/reference/src/kgpipe_tasks/cleaning/clean.py:10-11`, shipped as a
+    ``NotImplementedError`` stub there): a triple is dropped when it trips
+    the domain validator (its subject carries a type contradicting the
+    predicate's declared domain), the range validator (its URI object
+    carries a contradicting type), the xsd-datatype validator, or the
+    property-kind validator (object property with a literal / datatype
+    property with a URI).
+
+    SCALE: the ontology side of every check is broadcast; the violation
+    keys are aliased projections of the SAME validator dataframes the eval
+    suite verifies, subtracted with left_anti joins — no extra shuffle of
+    the KG beyond the anti-join probes.
+    """
+    from kgpipe_spark.eval.semantic import (
+        datatype_violations,
+        domain_violations,
+        object_prop_violations,
+        range_violations,
+    )
+
+    bad_sp = domain_violations(triples, ontology).select("subject", "predicate").distinct()
+    bad_spo = (
+        range_violations(triples, ontology)
+        .select("subject", "predicate", F.col("object_uri").alias("object_lex"))
+        .unionByName(
+            datatype_violations(triples, ontology).select("subject", "predicate", "object_lex")
+        )
+        .unionByName(
+            object_prop_violations(triples, ontology).select("subject", "predicate", "object_lex")
+        )
+        .distinct()
+    )
+    return triples.join(bad_sp, ["subject", "predicate"], "left_anti").join(
+        bad_spo, ["subject", "predicate", "object_lex"], "left_anti"
+    )
+
+
 def remove_empty_literals(triples: DataFrame) -> DataFrame:
     """Implements the reference's `remove_empty_rdf_literals` stub
     (`cleaning/clean.py:12-15`)."""

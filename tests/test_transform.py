@@ -90,3 +90,50 @@ def test_extract_ontology_from_rdf(spark):
         "director", "o:Film", "o:Person", "true", 1)
     y = out["p:year"]
     assert (y["label"], y["is_object_prop"]) == ("year", "false")
+
+
+def test_remove_inconsistent_triples(spark):
+    from kgpipe_spark.operators.transform import remove_inconsistent_triples
+
+    O = "http://kg.org/onto/"
+    P = "http://kg.org/prop/"
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    XD = "http://www.w3.org/2001/XMLSchema#decimal"
+    triples = spark.createDataFrame(
+        [
+            # e1 typed Customer: consistent everywhere
+            ("e1", RT, O + "Customer", "uri", None),
+            ("e1", P + "nation", "n1", "uri", None),
+            ("e1", P + "acctbal", "10.00", "literal", XD),
+            # e2 typed Supplier: domain violation on its nation/acctbal rows
+            ("e2", RT, O + "Supplier", "uri", None),
+            ("e2", P + "nation", "n1", "uri", None),
+            ("e2", P + "acctbal", "11.00", "literal", XD),
+            # e1 bad-datatype acctbal row: dropped, good row kept
+            ("e1", P + "acctbal", "12.00", "literal", XS),
+            # object-prop with literal: dropped
+            ("e1", P + "nation", "FRANCE", "literal", XS),
+            # n1 typed Nation: object of e1.nation is consistent
+            ("n1", RT, O + "Nation", "uri", None),
+        ],
+        "subject string, predicate string, object_lex string, object_kind string, object_datatype string",
+    )
+    onto = spark.createDataFrame(
+        [
+            (P + "nation", "nation", None, O + "Customer", O + "Nation", "true", 1),
+            (P + "acctbal", "acctbal", None, O + "Customer", XD, "false", 1),
+        ],
+        "uri string, label string, aliases array<string>, domain string, range string,"
+        " is_object_prop string, max_cardinality int",
+    )
+    kept = {tuple(r) for r in remove_inconsistent_triples(triples, onto).collect()}
+    assert ("e1", P + "nation", "n1", "uri", None) in kept
+    assert ("e1", P + "acctbal", "10.00", "literal", XD) in kept
+    # type rows themselves survive (rdf:type has no ontology entry)
+    assert ("e2", RT, O + "Supplier", "uri", None) in kept
+    # violations removed
+    assert ("e2", P + "nation", "n1", "uri", None) not in kept
+    assert ("e2", P + "acctbal", "11.00", "literal", XD) not in kept
+    assert ("e1", P + "acctbal", "12.00", "literal", XS) not in kept
+    assert ("e1", P + "nation", "FRANCE", "literal", XS) not in kept
