@@ -716,6 +716,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_remove_inconsistent"] = _remove_inconsistent
 
+    # mapping-driven JSON→RDF (mapping.py:4-11 intent; a `pass` stub in the
+    # reference): declared JSONPaths → pure-JVM get_json_object extraction
+    def _jsonpath_map(s, d):
+        from kgpipe_spark.operators.extract import map_jsonpaths_to_rdf
+
+        mappings = [
+            {"path": "$.name", "predicate": P + "name", "kind": "literal", "datatype": XSD_STRING},
+            {"path": "$.nation", "predicate": P + "nation", "kind": "uri"},
+            {"path": "$.segment", "predicate": P + "segment", "kind": "literal", "datatype": XSD_STRING},
+            {"path": "$.balance", "predicate": P + "balance", "kind": "literal", "datatype": XSD_DECIMAL},
+        ]
+        return map_jsonpaths_to_rdf(_flagship_corpus(s, d), mappings).select(
+            "subject", "predicate", "object_lex", "object_kind", "object_datatype"
+        )
+
+    q["kg_jsonpath_mapping"] = _jsonpath_map
+
     def _datatype_viol(s, d):
         from kgpipe_spark.eval.semantic import datatype_violations
 
@@ -2310,6 +2327,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.* FROM mutated t
         ANTI JOIN bad_sp USING (subject, predicate)
         ANTI JOIN bad_spo USING (subject, predicate, object_lex)
+    """
+
+    sql["kg_jsonpath_mapping"] = f"""
+        WITH src AS (
+          SELECT c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        doc AS (
+          -- subject = md5 of the RAW blob (field order as written, unlike
+          -- the heuristic extractor's sorted-keys re-canonicalization)
+          SELECT *,
+            'http://kg.org/e/' || md5('{{"name":"' || c_name || '","nation":{{"name":"' || n_name
+              || '"}},"segment":"' || c_mktsegment || '","balance":' || bal || '}}') AS duri,
+            'http://kg.org/e/' || md5('{{"name":"' || n_name || '"}}') AS nuri
+          FROM src
+        )
+        SELECT duri AS subject, 'http://kg.org/prop/name' AS predicate, c_name AS object_lex,
+               'literal' AS object_kind, '{_XS}' AS object_datatype FROM doc
+        UNION ALL SELECT duri, 'http://kg.org/prop/nation', nuri, 'uri', NULL FROM doc
+        UNION ALL SELECT duri, 'http://kg.org/prop/segment', c_mktsegment, 'literal', '{_XS}' FROM doc
+        UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc
     """
 
     sql["kg_datatype_violations"] = f"""

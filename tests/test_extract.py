@@ -87,3 +87,30 @@ def test_content_sha_roundtrip(spark, small_corpus):
     before = small_corpus.select("repo", "path", F.sha2("content", 256).alias("h"))
     after = small_corpus.select("repo", "path", F.sha2("content", 256).alias("h"))
     assert before.exceptAll(after).count() == 0
+
+
+def test_map_jsonpaths_to_rdf(spark):
+    from kgpipe_spark.operators.extract import map_jsonpaths_to_rdf
+
+    corpus = spark.createDataFrame(
+        [
+            ("r", "a.json", "c", "json", '{"name":"X","nested":{"k":1},"missing_not":null}'),
+            ("r", "b.txt", "c", "text", "nope"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = map_jsonpaths_to_rdf(
+        corpus,
+        [
+            {"path": "$.name", "predicate": "p:name", "kind": "literal", "datatype": "xs"},
+            {"path": "$.nested", "predicate": "p:nested", "kind": "uri"},
+            {"path": "$.absent", "predicate": "p:absent", "kind": "literal"},
+        ],
+    ).collect()
+    by_pred = {r["predicate"]: r for r in out}
+    assert by_pred["p:name"]["object_lex"] == "X"
+    assert by_pred["p:name"]["object_kind"] == "literal"
+    assert by_pred["p:nested"]["object_kind"] == "uri"
+    assert by_pred["p:nested"]["object_lex"].startswith("http://kg.org/e/")
+    assert "p:absent" not in by_pred  # null hits are filtered
+    assert len(out) == 2  # text blob contributes nothing
