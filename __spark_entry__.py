@@ -114,6 +114,10 @@ def _base_triples_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_view(spark, sf_dir, "matches", lambda: _matches_build(spark, sf_dir))
+
+
+def _matches_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ER match table from customer keys (FIXTURES.md §4):
     transitive chains, below-threshold pairs, relation matches, suffixed ids.
     """
