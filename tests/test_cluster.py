@@ -99,3 +99,40 @@ def test_best_match_1to1_symmetric(spark):
     )
     got = {(r["id_1"], r["id_2"]) for r in best_match_1to1(m).collect()}
     assert got == {("a", "x"), ("b", "z")}
+
+
+def test_best_match_1to1_equals_sequential_greedy_random(spark):
+    """Randomized equivalence: on distinct scores the iterated
+    locally-dominant-edge matching must produce EXACTLY the sequential
+    greedy matching (score desc, skip used endpoints) — the reference's
+    semantics (fusion/simple.py:41-67). Several seeded rounds, one Spark
+    job each."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 40
+        pairs = set()
+        while len(pairs) < 120:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.add((f"L{min(a,b)}", f"R{max(a,b)}"))
+        # distinct scores → greedy is unique
+        scores = rng.sample(range(1, 100000), len(pairs))
+        rows = [
+            (a, b, s / 100000.0, "entity")
+            for (a, b), s in zip(sorted(pairs), scores)
+        ]
+
+        used, expected = set(), set()
+        for a, b, s, _ in sorted(rows, key=lambda r: -r[2]):
+            if a not in used and b not in used:
+                used.add(a)
+                used.add(b)
+                expected.add((a, b))
+
+        m = spark.createDataFrame(rows, "id_1 string, id_2 string, score double, id_type string")
+        from kgpipe_spark.operators.cluster import best_match_1to1
+
+        got = {(r["id_1"], r["id_2"]) for r in best_match_1to1(m).collect()}
+        assert got == expected, f"seed {seed}: {got ^ expected}"
