@@ -737,6 +737,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_jsonpath_mapping"] = _jsonpath_map
 
+    # relation linker (relation_match.py:35-134): every distinct predicate
+    # surface → top-1 ontology property by hashed-gram cosine (no
+    # threshold), through the full TE-document path
+    def _rel_link_top1(s, d):
+        from kgpipe_spark.operators.te_construct import (
+            construct_te_document_from_json,
+            label_alias_embedding_rl,
+        )
+
+        cust = _read(s, d, "customer")
+        nation = _read(s, d, "nation")
+        corpus = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            F.lit("org/tpch").alias("repo"),
+            F.concat(F.lit("cust/"), F.col("c_custkey").cast("string"), F.lit(".json")).alias(
+                "path"
+            ),
+            F.lit("c0").alias("commit"),
+            F.lit("json").alias("lang"),
+            F.to_json(
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.struct(F.col("n_name").alias("name")).alias("nation"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_acctbal").alias("balance"),
+                )
+            ).alias("content"),
+        )
+        linked = label_alias_embedding_rl(construct_te_document_from_json(corpus), _ontology(s))
+        return (
+            linked.select(F.explode("links").alias("l"))
+            .filter(F.col("l.link_type") == "predicate")
+            .select(
+                F.col("l.span").alias("span"),
+                F.col("l.mapping").alias("mapping"),
+                F.round(F.col("l.score"), 6).alias("score_r"),
+            )
+            .distinct()
+        )
+
+    q["kg_relation_link_top1"] = _rel_link_top1
+
     def _datatype_viol(s, d):
         from kgpipe_spark.eval.semantic import datatype_violations
 
@@ -2354,6 +2395,29 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc
     """
 
+    # relation-linker oracle: the TE predicate surfaces of this corpus are
+    # exactly {{name, nation, segment, balance}}; replay the hashed-gram
+    # cosine (exact int dot / sqrt — bit-identical doubles) with the
+    # recall-complete share-any-gram blocking and the (cos desc, uri asc)
+    # argmax
+    sql["kg_relation_link_top1"] = f"""
+        WITH surfaces(id, text) AS (VALUES
+          ('name', 'name'), ('nation', 'nation'),
+          ('segment', 'segment'), ('balance', 'balance')),
+        props(id, text) AS (VALUES
+          ('http://kg.org/prop/nation', 'label: nation; altLabels: '),
+          ('http://kg.org/prop/region', 'label: region; altLabels: '),
+          ('http://kg.org/prop/acctbal', 'label: acctbal; altLabels: '),
+          ('http://kg.org/prop/mktsegment', 'label: mktsegment; altLabels: ')),
+        {_sql_embed('ms', 'surfaces')},
+        {_sql_embed('ps', 'props')},
+        {_sql_cosine_all('ms', 'ps', 'rc')}
+        SELECT lid AS span, rid AS mapping, round(cos, 6) AS score_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn
+          FROM rc
+        ) WHERE rn = 1
+    """
+
     sql["kg_datatype_violations"] = f"""
         WITH {SQL_TRIPLES},
         mutated AS (
@@ -3280,6 +3344,33 @@ def _sql_embed(p: str, src: str) -> str:
   ) GROUP BY id, bin
 ),
 {p}_norm AS MATERIALIZED (SELECT id, sum(v * v) AS ssq FROM {p}_bins GROUP BY id)"""
+
+
+def _sql_cosine_all(a: str, e: str, out: str, max_block: int = 1000) -> str:
+    """CTE chain: {out}(lid, rid, cos) — share-any-(non-hot)-gram candidate
+    pairs with exact cosine (cosine_pairs(prefix_filter=False): the
+    recall-complete blocking required by top-1/no-threshold consumers)."""
+    return f"""
+{out}_keep AS MATERIALIZED (
+  SELECT g FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) la
+  JOIN (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) ra USING (g)
+  WHERE la.c <= {max_block} AND ra.c <= {max_block}
+),
+{out}_cand AS MATERIALIZED (
+  SELECT DISTINCT l.id AS lid, r.id AS rid
+  FROM (SELECT id, g FROM {a}_gd SEMI JOIN {out}_keep USING (g)) l
+  JOIN (SELECT id, g FROM {e}_gd SEMI JOIN {out}_keep USING (g)) r USING (g)
+),
+{out} AS MATERIALIZED (
+  SELECT c.lid, c.rid,
+         sum(lb.v * rb.v) / (sqrt(min(ln.ssq)) * sqrt(min(rn.ssq))) AS cos
+  FROM {out}_cand c
+  JOIN {a}_bins lb ON lb.id = c.lid
+  JOIN {e}_bins rb ON rb.id = c.rid AND rb.bin = lb.bin
+  JOIN {a}_norm ln ON ln.id = c.lid
+  JOIN {e}_norm rn ON rn.id = c.rid
+  GROUP BY c.lid, c.rid
+)"""
 
 
 def _sql_cosine(a: str, e: str, out: str, max_block: int = 1000) -> str:
