@@ -778,6 +778,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_relation_link_top1"] = _rel_link_top1
 
+    # TE link filtering against the current KG (aggregate_3iejson_with_filter
+    # / filter_ie_doc, aggregation.py:209-241): entity links outside the KG
+    # drop, kept ones rewrite through the alias map, others pass through
+    def _te_filter_links(s, d):
+        from kgpipe_spark.operators.te_construct import filter_te_entity_links
+
+        cust = _read(s, d, "customer")
+        links = F.array(
+            F.struct(
+                F.col("c_name").alias("span"),
+                F.concat(F.lit(NAT), F.col("c_nationkey").cast("string")).alias("mapping"),
+                F.lit("entity").alias("link_type"),
+                F.lit(1.0).alias("score"),
+            ),
+            F.struct(
+                F.lit("stale").alias("span"),
+                F.concat(F.lit(KG_NS + "unk/"), F.col("c_custkey").cast("string")).alias(
+                    "mapping"
+                ),
+                F.lit("entity").alias("link_type"),
+                F.lit(0.9).alias("score"),
+            ),
+            F.struct(
+                F.lit("p").alias("span"),
+                F.lit(P + "mktsegment").alias("mapping"),
+                F.lit("predicate").alias("link_type"),
+                F.lit(0.8).alias("score"),
+            ),
+        )
+        te = cust.select(
+            F.concat(F.lit(CUST), F.col("c_custkey").cast("string")).alias("doc_id"),
+            links.alias("links"),
+        )
+        uri_map = _read(s, d, "nation").select(
+            F.concat(F.lit(NAT), F.col("n_nationkey").cast("string")).alias("uri"),
+            F.concat(F.lit("http://ref.org/nation/"), F.col("n_nationkey").cast("string")).alias(
+                "alias"
+            ),
+        )
+        out = filter_te_entity_links(te, uri_map)
+        return out.select("doc_id", F.posexplode("links").alias("pos", "l")).select(
+            "doc_id",
+            "pos",
+            F.col("l.span").alias("span"),
+            F.col("l.mapping").alias("mapping"),
+            F.col("l.link_type").alias("link_type"),
+            F.col("l.score").alias("score"),
+        )
+
+    q["kg_te_filter_links"] = _te_filter_links
+
     def _datatype_viol(s, d):
         from kgpipe_spark.eval.semantic import datatype_violations
 
@@ -2416,6 +2467,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn
           FROM rc
         ) WHERE rn = 1
+    """
+
+    # every customer's nation link is in the KG (kept + rewritten, pos 0),
+    # the stale link drops, the predicate link passes through (pos 1)
+    sql["kg_te_filter_links"] = """
+        SELECT 'http://kg.org/cust/' || c_custkey AS doc_id, CAST(0 AS INT) AS pos,
+               c_name AS span, 'http://ref.org/nation/' || c_nationkey AS mapping,
+               'entity' AS link_type, 1.0 AS score
+        FROM customer
+        UNION ALL
+        SELECT 'http://kg.org/cust/' || c_custkey, CAST(1 AS INT), 'p',
+               'http://kg.org/prop/mktsegment', 'predicate', 0.8
+        FROM customer
     """
 
     sql["kg_datatype_violations"] = f"""

@@ -53,6 +53,74 @@ def aggregate_te_documents(*te_docs: DataFrame) -> DataFrame:
     )
 
 
+def filter_te_entity_links(te_docs: DataFrame, uri_map: DataFrame) -> DataFrame:
+    """Drop entity links to URIs outside the current KG; rewrite kept ones
+    through the alias map. Non-entity links pass through untouched.
+
+    Implements ``filter_ie_doc`` inside ``aggregate_3iejson_with_filter``
+    (`/root/reference/src/kgpipe_tasks/transform_interop/aggregation.py:209-241`):
+    there the KG URI set + reverse "shade" dict is a driver-loaded JSON;
+    here it is ``uri_map(uri, alias)`` — kept entity links must have
+    ``mapping ∈ uri_map.uri`` and are rewritten to ``alias``.
+
+    SCALE: posexplode → broadcast/equi join on the mapping → re-aggregate
+    with ``array_sort`` on the original position, so link order is
+    preserved exactly (the reference filters in list order) and the KG-size
+    map is joined, never collected.
+    """
+    exploded = te_docs.select(
+        "doc_id", F.posexplode_outer("links").alias("pos", "l")
+    )
+    m = uri_map.select(F.col("uri").alias("__uri"), F.col("alias").alias("__alias"))
+    joined = exploded.join(m, exploded["l.mapping"] == m["__uri"], "left")
+    kept = joined.filter(
+        F.col("l").isNull()  # docs with no links survive the outer explode
+        | (F.col("l.link_type") != "entity")
+        | F.col("__alias").isNotNull()
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("l").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.struct(
+                F.col("l.span").alias("span"),
+                F.when(
+                    (F.col("l.link_type") == "entity") & F.col("__alias").isNotNull(),
+                    F.col("__alias"),
+                )
+                .otherwise(F.col("l.mapping"))
+                .alias("mapping"),
+                F.col("l.link_type").alias("link_type"),
+                F.col("l.score").alias("score"),
+            )
+        )
+        .alias("l"),
+    )
+    regrouped = kept.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos").alias("p"), F.col("l").alias("l")))
+            ),
+            lambda s: s["l"],
+        ).alias("links")
+    )
+    # null placeholder from link-less docs → empty array
+    regrouped = regrouped.withColumn(
+        "links", F.filter(F.col("links"), lambda x: x.isNotNull())
+    )
+    return te_docs.drop("links").join(regrouped, "doc_id", "left").withColumn(
+        "links",
+        F.coalesce(
+            F.col("links"),
+            F.array().cast(
+                "array<struct<span:string,mapping:string,link_type:string,score:double>>"
+            ),
+        ),
+    )
+
+
 def _chain_map(te_docs: DataFrame) -> DataFrame:
     """(doc_id, alias_surface, main_surface) from coref chains."""
     return (

@@ -135,3 +135,29 @@ def test_label_alias_embedding_rl(spark):
     assert ("directed_by", "http://kg.org/prop/director") in links
     scores = {p["span"]: p["score"] for p in out["links"]}
     assert scores["directed_by"] > scores.get("totally_unrelated_key", 0.0)
+
+
+def test_filter_te_entity_links(spark):
+    from kgpipe_spark.operators.te_construct import filter_te_entity_links
+
+    te = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    ("a", "kg:n1", "entity", 1.0),
+                    ("b", "kg:bad", "entity", 0.9),
+                    ("p", "kg:prop", "predicate", 0.8),
+                ],
+            ),
+            ("d2", []),
+        ],
+        "doc_id string, links array<struct<span:string,mapping:string,link_type:string,score:double>>",
+    )
+    uri_map = spark.createDataFrame([("kg:n1", "ref:n1")], "uri string, alias string")
+    out = {r["doc_id"]: r["links"] for r in filter_te_entity_links(te, uri_map).collect()}
+    assert [(l["span"], l["mapping"], l["link_type"]) for l in out["d1"]] == [
+        ("a", "ref:n1", "entity"),   # kept + rewritten through the alias map
+        ("p", "kg:prop", "predicate"),  # non-entity passes untouched
+    ]
+    assert out["d2"] == []
