@@ -67,11 +67,15 @@ def main() -> None:
     t0 = time.time()
     if args.checkpoint_dir:
         # durable per-stage snapshots + manifest.json lineage/metrics; a
-        # rerun with the same corpus fingerprint resumes mid-pipeline
+        # rerun with the same corpus CONTENT resumes mid-pipeline (the
+        # fingerprint covers the file listing + sizes + mtimes, not just the
+        # path, so changed data at the same path re-runs)
         from kgpipe_spark.pipelines import run_flagship_checkpointed
+        from kgpipe_spark.plans.pipeline import fingerprint_parquet_dir
 
         triples, report = run_flagship_checkpointed(
-            spark, corpus, seed, args.checkpoint_dir, input_fingerprint=corpus_path
+            spark, corpus, seed, args.checkpoint_dir,
+            input_fingerprint=fingerprint_parquet_dir(corpus_path),
         )
         for row in report:
             print(json.dumps({"stage_report": row}), file=sys.stderr)

@@ -201,6 +201,41 @@ def cosine_pairs(
     )
 
 
+def cosine_all_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """(lid, rid, cos) over the FULL cross product — same exact integer
+    dot / sqrt math as ``cosine_pairs`` (bit-identical scores), no candidate
+    blocking. Use only when one side is small (e.g. ontology-sized): the
+    small side's binned vectors are broadcast into the join.
+
+    This is the recall-complete fallback for top-1 consumers when blocking
+    drops a string whose grams are all hotter than ``max_block``."""
+    lv = gram_bins(left, "id", "text")
+    rv = gram_bins(right, "id", "text")
+    dots = (
+        lv.withColumnRenamed("id", "lid")
+        .join(
+            F.broadcast(rv.select(F.col("id").alias("rid"), "bin", F.col("v").alias("w"))),
+            "bin",
+        )
+        .groupBy("lid", "rid")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    ln = _with_norms(lv).select(F.col("id").alias("lid"), F.col("ssq").alias("lssq"))
+    rn = _with_norms(rv).select(F.col("id").alias("rid"), F.col("ssq").alias("rssq"))
+    return (
+        dots.join(ln, "lid")
+        .join(F.broadcast(rn), "rid")
+        .select(
+            "lid",
+            "rid",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("lssq").cast("double")) * F.sqrt(F.col("rssq").cast("double")))
+            ).alias("cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # entity mapping (graph_match_labels_soft)
 # ---------------------------------------------------------------------------

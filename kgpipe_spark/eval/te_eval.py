@@ -27,6 +27,12 @@ def evaluate_expected_links(
     counts (duplicates included); per-doc missing = expected ids minus true
     count; docs absent from either side are skipped. score = t / (t + fm)
     (reference.py:150-151).
+
+    A link is true when its mapping hits the expected id EITHER verbatim OR
+    in the hash-minted seed form ``http://kg.org/resource/<sha256(id)>``
+    (check_links accepts both, te_task_eval.py:57-70 via get_as_seed_uri +
+    benchutils.hash_uri): the expected set is expanded with the alternate
+    before the join; n_exp stays the ORIGINAL expected count.
     """
     links = (
         te_docs.select("doc_id", F.explode("links").alias("l"))
@@ -34,11 +40,26 @@ def evaluate_expected_links(
         .select("doc_id", F.col("l.mapping").alias("mapping"))
     )
     exp = expected.select("doc_id", "entity_id")
+    exp_targets = (
+        exp.select("doc_id", F.col("entity_id").alias("target"))
+        .unionByName(
+            exp.select(
+                "doc_id",
+                F.concat(
+                    F.lit("http://kg.org/resource/"), F.sha2(F.col("entity_id"), 256)
+                ).alias("target"),
+            )
+        )
+        .dropDuplicates(["doc_id", "target"])
+    )
     doc_ids = te_docs.select("doc_id").distinct().join(
         exp.select("doc_id").distinct(), "doc_id", "left_semi"
     )
     true_per_doc = (
-        links.join(exp, (links.doc_id == exp.doc_id) & (links.mapping == exp.entity_id))
+        links.join(
+            exp_targets,
+            (links.doc_id == exp_targets.doc_id) & (links.mapping == exp_targets.target),
+        )
         .groupBy(links.doc_id.alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_true"))
     )

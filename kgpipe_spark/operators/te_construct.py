@@ -410,8 +410,11 @@ def construct_te_document_from_json(
 
     extract_te = F.pandas_udf(_extract_te, ArrayType(TE_TRIPLE))  # type: ignore[call-overload]
 
-    stem = F.regexp_replace(
-        F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+    # basename up to the FIRST dot — the reference keys docs by
+    # filename.split('.')[0] (json_processing.py:76), so 'foo.bar.json' →
+    # 'foo', not 'foo.bar'; expected-link tables join on that id.
+    stem = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"^([^.]*)", 1
     )
     return (
         corpus.filter(F.col("lang") == "json")
@@ -471,6 +474,16 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
     # candidate generation must be recall-complete over shared grams, and
     # the props side is ontology-sized so any-gram blocking stays tiny
     pairs = cosine_pairs(mentions, props, prefix_filter=False)
+    # Recall backstop: a surface made up ONLY of grams hotter than max_block
+    # gets no candidates from blocking (the reference links every surface).
+    # Brute-force those leftovers against the full (small) props side with
+    # the identical exact cosine, so the union preserves bit-exact scores.
+    from kgpipe_spark.eval.soft import cosine_all_pairs
+
+    uncovered = mentions.join(
+        pairs.select(F.col("lid").alias("id")).distinct(), "id", "left_anti"
+    )
+    pairs = pairs.unionByName(cosine_all_pairs(uncovered, props))
     best = (
         pairs.withColumn(
             "rn",

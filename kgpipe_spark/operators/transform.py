@@ -169,19 +169,31 @@ def remove_inconsistent_triples(triples: DataFrame, ontology: DataFrame) -> Data
     )
 
     bad_sp = domain_violations(triples, ontology).select("subject", "predicate").distinct()
+    # object_kind is part of the subtraction key: a literal triple that shares
+    # its lexical form with a violating URI object under the same (s, p) must
+    # NOT be collaterally dropped.  Range violations are URI objects by
+    # construction; datatype violations are literals; property-kind
+    # violations carry the violating triple's own kind.
     bad_spo = (
         range_violations(triples, ontology)
-        .select("subject", "predicate", F.col("object_uri").alias("object_lex"))
-        .unionByName(
-            datatype_violations(triples, ontology).select("subject", "predicate", "object_lex")
+        .select(
+            "subject", "predicate", F.col("object_uri").alias("object_lex"),
+            F.lit("uri").alias("object_kind"),
         )
         .unionByName(
-            object_prop_violations(triples, ontology).select("subject", "predicate", "object_lex")
+            datatype_violations(triples, ontology).select(
+                "subject", "predicate", "object_lex", F.lit("literal").alias("object_kind")
+            )
+        )
+        .unionByName(
+            object_prop_violations(triples, ontology).select(
+                "subject", "predicate", "object_lex", "object_kind"
+            )
         )
         .distinct()
     )
     return triples.join(bad_sp, ["subject", "predicate"], "left_anti").join(
-        bad_spo, ["subject", "predicate", "object_lex"], "left_anti"
+        bad_spo, ["subject", "predicate", "object_lex", "object_kind"], "left_anti"
     )
 
 

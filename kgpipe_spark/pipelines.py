@@ -305,15 +305,31 @@ def run_flagship_checkpointed(
     and logs (rows, partitions, duration) to ``manifest.json`` — the north
     rule's per-partition lineage + metrics. A rerun with the same
     (input_fingerprint, stage list) resumes after the last completed stage;
-    editing a stage invalidates it and everything downstream (hash chain).
+    editing a stage (the wired ``_stage_*`` helper source participates in
+    the chain key via ``code_token``) invalidates it and everything
+    downstream. Pass ``input_fingerprint=fingerprint_parquet_dir(path)`` so
+    changed data at the same path also invalidates — the default "corpus"
+    constant only dedupes within one process.
     Returns (completed_triples, report_rows).
     """
-    from kgpipe_spark.plans.pipeline import Pipeline, Stage
+    from kgpipe_spark.plans.pipeline import Pipeline, Stage, code_token
 
     stages = [
-        Stage("extract", lambda df: _stage_extract(spark, df, seed, shuffle_partitions)),
-        Stage("link_canonicalize", lambda df: _stage_link_canonicalize(spark, df, seed)),
-        Stage("fuse_complete", lambda df: _stage_fuse_complete(spark, df, seed)),
+        Stage(
+            "extract",
+            lambda df: _stage_extract(spark, df, seed, shuffle_partitions),
+            config={"code": code_token(_stage_extract)},
+        ),
+        Stage(
+            "link_canonicalize",
+            lambda df: _stage_link_canonicalize(spark, df, seed),
+            config={"code": code_token(_stage_link_canonicalize)},
+        ),
+        Stage(
+            "fuse_complete",
+            lambda df: _stage_fuse_complete(spark, df, seed),
+            config={"code": code_token(_stage_fuse_complete)},
+        ),
     ]
     pipe = Pipeline(spark, stages, checkpoint_dir=checkpoint_dir)
     out = pipe.run(corpus, input_fingerprint=input_fingerprint)

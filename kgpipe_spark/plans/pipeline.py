@@ -15,6 +15,7 @@ Mirrors the reference's execution model without its file-format planner:
 from __future__ import annotations
 
 import hashlib
+import inspect
 import json
 import os
 import time
@@ -24,6 +25,39 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fingerprint_parquet_dir(path: str) -> str:
+    """Content fingerprint of an input directory: sha256 over the sorted
+    (relative path, size, mtime_ns) listing of every data file (dotfiles and
+    ``_SUCCESS``-style markers excluded). Changed data at the SAME path
+    changes the fingerprint, so a resume never replays stale snapshots.
+    Non-directories (e.g. a table identifier) hash the string itself."""
+    if not os.path.isdir(path):
+        return hashlib.sha256(path.encode()).hexdigest()[:16]
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            fp = os.path.join(root, fname)
+            st = os.stat(fp)
+            entries.append((os.path.relpath(fp, path), st.st_size, st.st_mtime_ns))
+    payload = json.dumps(sorted(entries))
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def code_token(*fns: Callable) -> str:
+    """sha256 over the source text of the given callables — fold into
+    ``Stage.config`` so editing stage code invalidates its snapshot and
+    everything downstream of it in the hash chain."""
+    parts = []
+    for fn in fns:
+        try:
+            parts.append(inspect.getsource(fn))
+        except (OSError, TypeError):
+            parts.append(getattr(fn, "__qualname__", repr(fn)))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 @dataclass
 class Stage:
     name: str
@@ -31,8 +65,16 @@ class Stage:
     config: dict = field(default_factory=dict)
 
     def key(self, prev_hash: str) -> str:
+        # the stage's own source participates in the key (in addition to any
+        # explicit config["code"] token for helpers the lambda closes over)
         payload = json.dumps(
-            {"prev": prev_hash, "name": self.name, "config": self.config}, sort_keys=True
+            {
+                "prev": prev_hash,
+                "name": self.name,
+                "config": self.config,
+                "code": code_token(self.fn),
+            },
+            sort_keys=True,
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
