@@ -1045,6 +1045,186 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pipeline_rdf_b"] = _rdf_b
 
+    def _pipeline_tail(s, fused):
+        """Shared §3.4 pipeline tail: type inference + type-row merge."""
+        inferred = type_inference_simple(fused, _ontology(s))
+        dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+        types = (
+            fused.filter(F.col("predicate") == RDF_TYPE)
+            .unionByName(inferred)
+            .dropDuplicates(dedup_cols)
+        )
+        return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+
+    def _paris_exchange_map(matches):
+        """paris_exchange: one target (id_1) per source entity (id_2)."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("id_2").orderBy(F.desc("score"), F.asc("id_1"))
+        return (
+            matches.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("id_2").alias("entity"), F.col("id_1").alias("canonical"))
+        )
+
+    # the json_a pipeline composition (SURVEY §3.4, pipeline.conf:62-71):
+    # construct_rdf_from_json3 → paris_entity_matching → paris_exchange →
+    # fusion_first_value → type_inference
+    def _json_a(s, d):
+        from kgpipe_spark.operators.extract import extract_json_triples
+        from kgpipe_spark.operators.fusion import (
+            canonicalize_triples as _canon,
+            fuse_first_value as _ffv,
+        )
+        from kgpipe_spark.operators.matching import blocked_entity_matching
+
+        kg1 = _base_triples(s, d)
+        kg2 = (
+            extract_json_triples(_flagship_corpus(s, d))
+            .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
+            .distinct()
+        )
+        matches = blocked_entity_matching(kg1, kg2, threshold=0.5, neighbor_boost=0.1)
+        canon2 = _canon(kg2, _paris_exchange_map(matches))
+        fusable = s.createDataFrame([(RDFS_LABEL,), (P + "segment",)], ["predicate"])
+        return _pipeline_tail(s, _ffv(kg1, canon2, fusable))
+
+    q["kg_pipeline_json_a"] = _json_a
+
+    # the text_a pipeline composition (SURVEY §3.4, pipeline.conf:96-110):
+    # corenlp_openie_extraction → corenlp_exchange → label_alias_embedding_rl
+    # → spotlight NER/NEL (native dictionary linker) → aggregate3_te_json →
+    # construct_rdf_from_te_json_mappings_only → paris_entity_matching →
+    # paris_exchange → fusion_first_value → type_inference
+    def _text_corpus(s, d):
+        cust = _read(s, d, "customer")
+        nation = _read(s, d, "nation")
+        region = _read(s, d, "region")
+        joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+            region, nation.n_regionkey == region.r_regionkey
+        )
+        return joined.select(
+            F.lit("org/tpch").alias("repo"),
+            F.concat(F.lit("films/"), F.col("c_custkey").cast("string"), F.lit(".txt")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("text").alias("lang"),
+            F.concat(
+                F.lit("Film "), F.col("c_custkey").cast("string"),
+                F.lit(" was directed by "), F.col("c_name"),
+                F.lit(". It stars "), F.col("n_name"), F.lit(" and "), F.col("r_name"),
+                F.lit("."),
+            ).alias("content"),
+        )
+
+    def _text_a(s, d):
+        from kgpipe_spark.operators.extract import extract_text_surface_triples
+        from kgpipe_spark.operators.fusion import (
+            canonicalize_triples as _canon,
+            fuse_first_value as _ffv,
+        )
+        from kgpipe_spark.operators.linking import label_dictionary
+        from kgpipe_spark.operators.matching import blocked_entity_matching
+        from kgpipe_spark.operators.te_construct import (
+            aggregate_te_documents,
+            label_alias_embedding_rl,
+            link_te_entities_dictionary,
+            surface_triples_to_te_documents,
+            te_documents_to_triples,
+        )
+
+        kg1 = _base_triples(s, d)
+        onto = s.createDataFrame(
+            [
+                (P + "director", "directed by", ["director"], O + "Movie", O + "Person", "true", None),
+                (P + "stars", "stars", ["cast member"], O + "Movie", O + "Person", "true", None),
+                (P + "writer", "written by", ["writer"], O + "Movie", O + "Person", "true", None),
+            ],
+            "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+        )
+        te = surface_triples_to_te_documents(
+            extract_text_surface_triples(_text_corpus(s, d))
+        )
+        # lineage cut: the rl chain (cosine blocking + fallback) references
+        # its own subtree several times, and every downstream stage references
+        # `te`/`staging` 3-5×; without truncation Catalyst analyzes an
+        # exponentially duplicated tree and the driver OOMs
+        te = label_alias_embedding_rl(te, onto).localCheckpoint()
+        # spotlight-native annotator: knows the geography entities of the KG
+        spot_dict = label_dictionary(
+            kg1.filter(F.col("subject").startswith(NAT) | F.col("subject").startswith(REG)),
+            include_alt=False,
+        )
+        te = link_te_entities_dictionary(aggregate_te_documents(te), spot_dict)
+        staging = te_documents_to_triples(te, onto, mappings_only=True).localCheckpoint()
+        matches = blocked_entity_matching(kg1, staging, threshold=0.5, neighbor_boost=0.1)
+        canon2 = _canon(staging, _paris_exchange_map(matches))
+        fusable = s.createDataFrame([(RDFS_LABEL,)], ["predicate"])
+        return _pipeline_tail(s, _ffv(kg1, canon2, fusable))
+
+    q["kg_pipeline_text_a"] = _text_a
+
+    # the 3-stage incremental MSP loop (test_inc_msp.py:17-33): rdf → json →
+    # text sources folded into the accumulated KG through the checkpointable
+    # Pipeline driver; each stage is align_kg_increment (paris → exchange →
+    # fuse → infer) against the PREVIOUS stage's result
+    def _incremental_3stage(s, d):
+        from kgpipe_spark.operators.extract import (
+            extract_json_triples,
+            extract_text_surface_triples,
+        )
+        from kgpipe_spark.operators.linking import label_dictionary
+        from kgpipe_spark.operators.te_construct import (
+            aggregate_te_documents,
+            label_alias_embedding_rl,
+            link_te_entities_dictionary,
+            surface_triples_to_te_documents,
+            te_documents_to_triples,
+        )
+        from kgpipe_spark.pipelines import run_incremental_msp
+
+        seed = _base_triples(s, d)
+        onto_text = s.createDataFrame(
+            [
+                (P + "director", "directed by", ["director"], O + "Movie", O + "Person", "true", None),
+                (P + "stars", "stars", ["cast member"], O + "Movie", O + "Person", "true", None),
+                (P + "writer", "written by", ["writer"], O + "Movie", O + "Person", "true", None),
+            ],
+            "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+        )
+        rdf_src = _soft_actual(s, d)
+        json_src = (
+            extract_json_triples(_flagship_corpus(s, d))
+            .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
+            .distinct()
+        )
+
+        def text_src(kg):
+            te = surface_triples_to_te_documents(
+                extract_text_surface_triples(_text_corpus(s, d))
+            )
+            te = label_alias_embedding_rl(te, onto_text).localCheckpoint()
+            spot_dict = label_dictionary(
+                kg.filter(
+                    F.col("subject").startswith(NAT) | F.col("subject").startswith(REG)
+                ),
+                include_alt=False,
+            )
+            te = link_te_entities_dictionary(aggregate_te_documents(te), spot_dict)
+            return te_documents_to_triples(te, onto_text, mappings_only=True).localCheckpoint()
+
+        def fus(preds):
+            return s.createDataFrame([(x,) for x in preds], ["predicate"])
+
+        stages = [
+            ("rdf", lambda kg: rdf_src, fus([RDFS_LABEL, P + "mktsegment"])),
+            ("json", lambda kg: json_src, fus([RDFS_LABEL, P + "segment"])),
+            ("text", text_src, fus([RDFS_LABEL])),
+        ]
+        out, _report = run_incremental_msp(s, seed, stages, _ontology(s))
+        return out
+
+    q["kg_incremental_3stage"] = _incremental_3stage
+
     def _fuse_union(s, d):
         from kgpipe_spark.operators.fusion import fuse_union
 
@@ -3080,6 +3260,283 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM fused WHERE predicate <> '{_RT}'
         UNION ALL SELECT * FROM types
+    """
+
+    # Parameterized CTE generators for the §3.4 pipeline compositions and the
+    # incremental MSP chain: token-blocked scoring, paris exchange →
+    # canonicalize, and the first-value-fusion + type-inference stage tail.
+    # Each takes the (accumulated) target-KG CTE name, the source-KG CTE
+    # name, and a prefix so stages can be chained ({p}stage = the stage's
+    # output KG).
+    def _tokens_scored(kg1: str, kg2: str, p: str) -> str:
+        return f"""
+        {p}t1 AS MATERIALIZED (
+          SELECT DISTINCT subject AS id_1, tok AS token FROM (
+            SELECT subject, unnest(string_split({_NORM.format(c='object_lex')}, ' ')) AS tok
+            FROM {kg1} WHERE predicate = '{_RL}'
+          ) WHERE length(tok) > 0
+        ),
+        {p}t2 AS MATERIALIZED (
+          SELECT DISTINCT subject AS id_2, tok AS token FROM (
+            SELECT subject, unnest(string_split({_NORM.format(c='object_lex')}, ' ')) AS tok
+            FROM {kg2} WHERE predicate = '{_RL}'
+          ) WHERE length(tok) > 0
+        ),
+        {p}sizes1 AS (SELECT id_1, count(*) AS n1 FROM {p}t1 GROUP BY id_1),
+        {p}sizes2 AS (SELECT id_2, count(*) AS n2 FROM {p}t2 GROUP BY id_2),
+        {p}block_ok AS MATERIALIZED (
+          SELECT b1.token FROM (SELECT token, count(*) AS c1 FROM {p}t1 GROUP BY token) b1
+          JOIN (SELECT token, count(*) AS c2 FROM {p}t2 GROUP BY token) b2 USING (token)
+          WHERE b1.c1 * b2.c2 <= 1000000
+        ),
+        {p}inter AS MATERIALIZED (
+          SELECT a.id_1, b.id_2, count(*) AS common
+          FROM (SELECT * FROM {p}t1 SEMI JOIN {p}block_ok USING (token)) a
+          JOIN (SELECT * FROM {p}t2 SEMI JOIN {p}block_ok USING (token)) b USING (token)
+          GROUP BY a.id_1, b.id_2
+        ),
+        {p}scored AS MATERIALIZED (
+          SELECT id_1, id_2, common / (n1 + n2 - common) AS score
+          FROM {p}inter JOIN {p}sizes1 USING (id_1) JOIN {p}sizes2 USING (id_2)
+        )"""
+
+    def _paris_canon(kg1: str, kg2: str, p: str) -> str:
+        return f"""
+        {p}n1 AS (SELECT DISTINCT subject AS id_1, object_lex AS nbr FROM {kg1} WHERE object_kind = 'uri'),
+        {p}n2 AS (SELECT DISTINCT subject AS id_2, object_lex AS nbr FROM {kg2} WHERE object_kind = 'uri'),
+        {p}shared AS (
+          SELECT s.id_1, s.id_2, count(*) AS shared
+          FROM {p}scored s
+          JOIN {p}n1 n1 ON n1.id_1 = s.id_1
+          JOIN {p}n2 n2 ON n2.id_2 = s.id_2 AND n2.nbr = n1.nbr
+          GROUP BY s.id_1, s.id_2
+        ),
+        {p}boosted AS MATERIALIZED (
+          SELECT s.id_1, s.id_2,
+                 least(CAST(1.0 AS DOUBLE),
+                       s.score + coalesce(sh.shared, 0) * CAST(0.1 AS DOUBLE)) AS score
+          FROM {p}scored s LEFT JOIN {p}shared sh ON s.id_1 = sh.id_1 AND s.id_2 = sh.id_2
+          WHERE s.score >= 0.0
+        ),
+        {p}mmap AS MATERIALIZED (
+          SELECT id_2 AS entity, id_1 AS canonical FROM (
+            SELECT *, row_number() OVER (PARTITION BY id_2 ORDER BY score DESC, id_1 ASC) AS rn
+            FROM {p}boosted WHERE score >= 0.5
+          ) WHERE rn = 1
+        ),
+        {p}canon2 AS MATERIALIZED (
+          SELECT coalesce(m1.canonical, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(m2.canonical, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind, t.object_datatype
+          FROM {kg2} t
+          LEFT JOIN {p}mmap m1 ON m1.entity = t.subject
+          LEFT JOIN {p}mmap m2 ON m2.entity = t.object_lex AND t.object_kind = 'uri'
+        )"""
+
+    def _stage_tail(kg1: str, p: str, fusable: str) -> str:
+        return f"""
+        {p}src_fusable AS (SELECT * FROM {p}canon2 WHERE predicate IN ({fusable})),
+        {p}src_rest AS (SELECT * FROM {p}canon2 WHERE predicate NOT IN ({fusable})),
+        {p}seed_sp AS (SELECT DISTINCT subject, predicate FROM {kg1}),
+        {p}new_fusable AS (
+          SELECT f.* FROM {p}src_fusable f ANTI JOIN {p}seed_sp sp USING (subject, predicate)
+        ),
+        {p}first_vals AS (
+          SELECT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY sha256(coalesce(object_lex, chr(1)) || coalesce(object_kind, chr(1)) || coalesce(object_datatype, chr(1)))
+            ) AS rn FROM {p}new_fusable
+          ) WHERE rn = 1
+        ),
+        {p}new_rest AS (
+          SELECT r.* FROM {p}src_rest r
+          ANTI JOIN (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM {kg1}) s
+            USING (subject, predicate, object_lex, object_kind)
+        ),
+        {p}fused AS MATERIALIZED (
+          SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+          FROM (
+            SELECT * FROM {kg1}
+            UNION ALL SELECT * FROM {p}first_vals
+            UNION ALL SELECT * FROM {p}new_rest
+          ) GROUP BY subject, predicate, object_lex, object_kind
+        ),
+        {p}onto AS (
+          SELECT 'http://kg.org/prop/nation' AS uri, 'http://kg.org/onto/Customer' AS dom, 'http://kg.org/onto/Nation' AS rng
+          UNION ALL SELECT 'http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region'
+          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#decimal'
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#string'
+        ),
+        {p}joined AS (SELECT t.*, o.dom, o.rng FROM {p}fused t JOIN {p}onto o ON t.predicate = o.uri),
+        {p}inferred AS (
+          SELECT subject, '{_RT}' AS predicate, dom AS object_lex, 'uri' AS object_kind,
+                 CAST(NULL AS VARCHAR) AS object_datatype
+          FROM {p}joined WHERE dom IS NOT NULL
+          UNION ALL
+          SELECT object_lex, '{_RT}', rng, 'uri', NULL
+          FROM {p}joined WHERE rng IS NOT NULL AND object_kind = 'uri'
+        ),
+        {p}types AS (
+          SELECT subject, predicate, object_lex, object_kind, min(object_datatype) AS object_datatype
+          FROM (
+            SELECT * FROM {p}fused WHERE predicate = '{_RT}'
+            UNION ALL SELECT * FROM {p}inferred
+          ) GROUP BY subject, predicate, object_lex, object_kind
+        ),
+        {p}stage AS MATERIALIZED (
+          SELECT * FROM {p}fused WHERE predicate <> '{_RT}'
+          UNION ALL SELECT * FROM {p}types
+        )"""
+
+    # JSON source chain (bit-exact md5-mint derivation, same as
+    # kg_json_extract) → CTE `jsrc`
+    _JSON_SRC = f"""
+        src_j AS (
+          SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        doc_j AS MATERIALIZED (
+          SELECT *,
+            'http://kg.org/e/' || md5('{{"balance":' || bal || ',"name":"' || c_name
+              || '","nation":{{"name":"' || n_name || '"}},"segment":"' || c_mktsegment || '"}}') AS duri,
+            'http://kg.org/e/' || md5('{{"name":"' || n_name || '"}}') AS nuri
+          FROM src_j
+        ),
+        jsrc AS MATERIALIZED (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT duri AS subject, '{_RT}' AS predicate, 'http://kg.org/onto/EXCDocument' AS object_lex,
+                   'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype FROM doc_j
+            UNION ALL SELECT duri, 'http://kg.org/prop/balance', bal, 'literal', '{_XD}' FROM doc_j
+            UNION ALL SELECT duri, '{_RL}', c_name, 'literal', '{_XS}' FROM doc_j
+            UNION ALL SELECT duri, 'http://kg.org/prop/name', c_name, 'literal', '{_XS}' FROM doc_j
+            UNION ALL SELECT duri, 'http://kg.org/prop/nation', nuri, 'uri', NULL FROM doc_j
+            UNION ALL SELECT duri, 'http://kg.org/prop/segment', c_mktsegment, 'literal', '{_XS}' FROM doc_j
+            UNION ALL SELECT nuri, '{_RT}', 'http://kg.org/onto/EXCNation', 'uri', NULL FROM doc_j
+            UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc_j
+            UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc_j
+          )
+        )"""
+
+    def _text_staging(kgname: str, p: str) -> str:
+        """Text-source chain: closed-form OpenIE surfaces → exact-cosine
+        relation linking (argmax via the embed/cosine chains) → dictionary
+        NER/NEL against {kgname}'s geography labels → mappings-only TE
+        construct. Output CTE: {p}soft."""
+        return f"""
+        {p}txt AS (
+          SELECT c_custkey AS k, c_name, n_name, r_name
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        ),
+        {p}surf AS MATERIALIZED (
+          SELECT CAST(k AS VARCHAR) AS doc_id, 'Film ' || k AS subj, 'directed by' AS pred, c_name AS obj FROM {p}txt
+          UNION ALL SELECT CAST(k AS VARCHAR), 'Film ' || k, 'stars', n_name FROM {p}txt
+          UNION ALL SELECT CAST(k AS VARCHAR), 'Film ' || k, 'stars', r_name FROM {p}txt
+        ),
+        {p}psurf(id, text) AS (VALUES ('directed by', 'directed by'), ('stars', 'stars')),
+        {p}props(id, text) AS (VALUES
+          ('http://kg.org/prop/director', 'label: directed by; altLabels: director'),
+          ('http://kg.org/prop/stars', 'label: stars; altLabels: cast member'),
+          ('http://kg.org/prop/writer', 'label: written by; altLabels: writer')),
+        {_sql_embed(p + 'm', p + 'psurf')},
+        {_sql_embed(p + 'p', p + 'props')},
+        {_sql_cosine_all(p + 'm', p + 'p', p + 'c')},
+        {p}relmap AS MATERIALIZED (
+          SELECT lid AS surface, rid AS prop FROM (
+            SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn FROM {p}c
+          ) WHERE rn = 1 AND cos >= 0.3
+        ),
+        {p}spot AS MATERIALIZED (
+          SELECT norm, min(uri) AS mapping FROM (
+            SELECT subject AS uri, {_NORM.format(c='object_lex')} AS norm FROM {kgname}
+            WHERE predicate = '{_RL}'
+              AND (subject LIKE 'http://kg.org/nation/%' OR subject LIKE 'http://kg.org/region/%')
+          ) GROUP BY norm
+        ),
+        {p}elinks AS MATERIALIZED (
+          SELECT DISTINCT u.doc_id, lower(u.surface) AS key, sp.mapping
+          FROM (
+            SELECT doc_id, subj AS surface FROM {p}surf
+            UNION SELECT doc_id, obj FROM {p}surf
+          ) u JOIN {p}spot sp ON {_NORM.format(c='u.surface')} = sp.norm
+        ),
+        {p}onto_t(uri, dom, rng) AS (VALUES
+          ('http://kg.org/prop/director', 'http://kg.org/onto/Movie', 'http://kg.org/onto/Person'),
+          ('http://kg.org/prop/stars', 'http://kg.org/onto/Movie', 'http://kg.org/onto/Person'),
+          ('http://kg.org/prop/writer', 'http://kg.org/onto/Movie', 'http://kg.org/onto/Person')),
+        {p}resolved AS MATERIALIZED (
+          SELECT s.doc_id,
+                 coalesce(els.mapping,
+                          'http://kg.org/newE/' || sha256({_NORM.format(c='s.subj')})) AS subject,
+                 els.mapping IS NOT NULL AS subj_linked,
+                 r.prop AS predicate, o.dom, o.rng,
+                 s.subj AS subj_surface, s.obj AS obj_surface,
+                 coalesce(elo.mapping,
+                          'http://kg.org/newE/' || sha256({_NORM.format(c='s.obj')})) AS obj_uri,
+                 elo.mapping IS NOT NULL AS obj_linked
+          FROM {p}surf s
+          JOIN {p}relmap r ON r.surface = s.pred
+          JOIN {p}onto_t o ON r.prop = o.uri
+          LEFT JOIN {p}elinks els ON els.doc_id = s.doc_id AND els.key = lower(s.subj)
+          LEFT JOIN {p}elinks elo ON elo.doc_id = s.doc_id AND elo.key = lower(s.obj)
+        ),
+        {p}soft AS MATERIALIZED (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT subject, predicate, obj_uri AS object_lex, 'uri' AS object_kind,
+                   CAST(NULL AS VARCHAR) AS object_datatype FROM {p}resolved
+            UNION ALL SELECT subject, '{_RT}', dom, 'uri', NULL FROM {p}resolved
+            UNION ALL SELECT obj_uri, '{_RT}', rng, 'uri', NULL FROM {p}resolved
+            UNION ALL SELECT subject, '{_RL}', subj_surface, 'literal', '{_XS}' FROM {p}resolved WHERE NOT subj_linked
+            UNION ALL SELECT obj_uri, '{_RL}', obj_surface, 'literal', '{_XS}' FROM {p}resolved WHERE NOT obj_linked
+          )
+        )"""
+
+    # json_a composition (pipeline.conf:62-71): the bit-exact JSON
+    # extraction chain feeds the paris chain as the source KG, then exchange
+    # -> canonicalize -> first-value fusion -> type inference
+    sql["kg_pipeline_json_a"] = f"""
+        WITH {SQL_TRIPLES},
+        {_JSON_SRC},
+        {_tokens_scored('triples', 'jsrc', 'a')},
+        {_paris_canon('triples', 'jsrc', 'a')},
+        {_stage_tail('triples', 'a', f"'{_RL}', 'http://kg.org/prop/segment'")}
+        SELECT * FROM astage
+    """
+
+    # text_a composition (pipeline.conf:96-110): closed-form OpenIE surfaces
+    # -> TE docs -> exact-cosine relation linking -> dictionary NER/NEL ->
+    # mappings-only TE construct -> paris -> fusion -> type inference
+    sql["kg_pipeline_text_a"] = f"""
+        WITH {SQL_TRIPLES},
+        {_text_staging('triples', 'x')},
+        {_tokens_scored('triples', 'xsoft', 'b')},
+        {_paris_canon('triples', 'xsoft', 'b')},
+        {_stage_tail('triples', 'b', f"'{_RL}'")}
+        SELECT * FROM bstage
+    """
+
+    # 3-stage incremental MSP (helpers.py:50-90, test_inc_msp.py:17-33):
+    # stage 1 aligns the rdf source into the seed, stage 2 the JSON source
+    # into stage 1's result, stage 3 the text source into stage 2's result;
+    # each stage is the full tokens->paris->exchange->fuse->infer chain over
+    # the ACCUMULATED KG CTE of the previous stage
+    sql["kg_incremental_3stage"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL},
+        {_tokens_scored('triples', 'soft_actual', 's1')},
+        {_paris_canon('triples', 'soft_actual', 's1')},
+        {_stage_tail('triples', 's1', f"'{_RL}', 'http://kg.org/prop/mktsegment'")},
+        {_JSON_SRC},
+        {_tokens_scored('s1stage', 'jsrc', 's2')},
+        {_paris_canon('s1stage', 'jsrc', 's2')},
+        {_stage_tail('s1stage', 's2', f"'{_RL}', 'http://kg.org/prop/segment'")},
+        {_text_staging('s2stage', 'y')},
+        {_tokens_scored('s2stage', 'ysoft', 's3')},
+        {_paris_canon('s2stage', 'ysoft', 's3')},
+        {_stage_tail('s2stage', 's3', f"'{_RL}'")}
+        SELECT * FROM s3stage
     """
 
     sql["kg_json_extract"] = f"""

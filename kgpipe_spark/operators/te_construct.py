@@ -434,6 +434,118 @@ def construct_te_document_from_json(
 # ---------------------------------------------------------------------------
 
 
+def surface_triples_to_te_documents(surfaces: DataFrame) -> DataFrame:
+    """OpenIE-style surface triples → TE_Documents, one per source file.
+
+    Native replacement for ``corenlp_exchange``
+    (`/root/reference/src/kgpipe_tasks/text_processing/text_extraction/corenlp_extraction.py:65`):
+    the reference converts CoreNLP's OpenIE output files into TE JSON docs;
+    here the extractor's (repo, path, commit, subj/pred/obj surface) rows are
+    regrouped into (doc_id, text, triples, chains, links) with empty chains
+    and links. doc_id = basename(path) up to the FIRST dot, matching the
+    reference's filename.split('.')[0] keying.
+
+    SCALE: one groupBy on doc_id (the natural partition key downstream);
+    array order inside a doc is irrelevant — every consumer explodes.
+    """
+    stem = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"^([^.]*)", 1
+    )
+
+    def span(col):
+        return F.struct(
+            F.lit(None).cast("int").alias("start"),
+            F.lit(None).cast("int").alias("end"),
+            col.alias("surface_form"),
+            col.alias("text"),
+            F.lit(None).cast("string").alias("mapping"),
+        )
+
+    rows = surfaces.select(
+        stem.alias("doc_id"),
+        F.struct(
+            span(F.col("subj_surface")).alias("subject"),
+            span(F.col("pred_surface")).alias("predicate"),
+            span(F.col("obj_surface")).alias("object"),
+        ).alias("t"),
+    )
+    return rows.groupBy("doc_id").agg(F.collect_list("t").alias("triples")).select(
+        "doc_id",
+        F.lit("").alias("text"),
+        "triples",
+        F.array().cast(
+            "array<struct<main:string,aliases:array<struct<start:int,end:int,surface_form:string,text:string,mapping:string>>>>"
+        ).alias("chains"),
+        F.array().cast(
+            "array<struct<span:string,mapping:string,link_type:string,score:double>>"
+        ).alias("links"),
+    )
+
+
+def link_te_entities_dictionary(
+    te_docs: DataFrame, dictionary: DataFrame, score: float = 1.0
+) -> DataFrame:
+    """Append entity links for triple surfaces whose NORMALIZED form exactly
+    matches a dictionary label.
+
+    Native replacement for the ``dbpedia_spotlight_ner_nel`` +
+    ``dbpedia_spotlight_exchange`` stages
+    (`/root/reference/src/kgpipe_tasks/text_processing/entity_linking/spotlight_entity_linking.py:51,143`,
+    pipeline.conf:103-104): spotlight's surface→DBpedia-URI annotations
+    become exact-label hits against a KG label dictionary
+    (``label_dictionary(kg)`` → (uri, label, norm_label)); ambiguous labels
+    resolve to the min URI, hits get the fixed annotator confidence.
+
+    SCALE: distinct surfaces per doc → broadcast join on the (small)
+    dictionary → per-doc re-aggregation; no driver collect.
+    """
+    surf = (
+        te_docs.select("doc_id", F.explode("triples").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("t.subject.surface_form"), F.col("t.object.surface_form"))
+            ).alias("surface"),
+        )
+        .filter(F.col("surface").isNotNull())
+        .distinct()
+    )
+    d = (
+        dictionary.groupBy("norm_label")
+        .agg(F.min("uri").alias("mapping"))
+        .withColumnRenamed("norm_label", "__norm")
+    )
+    hits = surf.withColumn("__norm", normalize_label(F.col("surface"))).join(
+        F.broadcast(d), "__norm"
+    )
+    doc_links = hits.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("surface").alias("span"),
+                F.col("mapping"),
+                F.lit("entity").alias("link_type"),
+                F.lit(score).alias("score"),
+            )
+        ).alias("_new_links")
+    )
+    return (
+        te_docs.join(doc_links, "doc_id", "left")
+        .withColumn(
+            "links",
+            F.concat(
+                F.coalesce(F.col("links"), F.array()),
+                F.coalesce(
+                    F.col("_new_links"),
+                    F.array().cast(
+                        "array<struct<span:string,mapping:string,link_type:string,score:double>>"
+                    ),
+                ),
+            ),
+        )
+        .drop("_new_links")
+    )
+
+
 def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFrame:
     """Link each distinct predicate surface to its best ontology property and
     append the matches as ``link_type='predicate'`` TE_Pairs.

@@ -336,6 +336,94 @@ def run_flagship_checkpointed(
     return out, pipe.report
 
 
+def align_kg_increment(
+    spark: SparkSession,
+    kg: DataFrame,
+    src_triples: DataFrame,
+    fusable: DataFrame,
+    ontology: DataFrame,
+) -> DataFrame:
+    """One incremental-MSP stage: align a source KG against the ACCUMULATED
+    KG and fuse it in.
+
+    Mirrors the stage body of the reference's incremental loop
+    (`/root/reference/experiments/moviekg/src/moviekg/pipelines/helpers.py:50-90`:
+    stage 1 targets the seed, stage N targets stage N-1's result.nt):
+    paris-style blocked matching → exchange (top-1 target per source
+    entity) → canonicalize the source → first-value fusion with
+    accumulated-KG priority → simple type inference re-run.
+
+    SCALE: matching is token-blocked with a hot-block cap; the rewrite map
+    is broadcast; fusion is the one-KG-pass tail — per-stage cost is
+    O(source) plus one pass over the accumulated KG.
+    """
+    from pyspark.sql.window import Window
+
+    from kgpipe_spark.operators.matching import blocked_entity_matching
+
+    matches = blocked_entity_matching(kg, src_triples, threshold=0.5, neighbor_boost=0.1)
+    w = Window.partitionBy("id_2").orderBy(F.desc("score"), F.asc("id_1"))
+    mmap = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id_2").alias("entity"), F.col("id_1").alias("canonical"))
+    )
+    canon2 = canonicalize_triples(src_triples, mmap)
+    fused = fuse_first_value(kg, canon2, fusable)
+    inferred = type_inference_simple(fused, ontology)
+    dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+    types = (
+        fused.filter(F.col("predicate") == RDF_TYPE)
+        .unionByName(inferred)
+        .dropDuplicates(dedup_cols)
+    )
+    return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+
+
+def run_incremental_msp(
+    spark: SparkSession,
+    seed: DataFrame,
+    stages: list,
+    ontology: DataFrame,
+    checkpoint_dir: str | None = None,
+    input_fingerprint: str = "sources",
+):
+    """The reference's 3-split incremental MSP loop
+    (`test_inc_msp.py:17-33`): stage N aligns source N into the KG produced
+    by stage N-1 (stage 1 into the seed).
+
+    ``stages``: list of ``(name, src_fn, fusable)`` where ``src_fn(kg)``
+    returns the stage's source triples given the CURRENT accumulated KG
+    (text stages use it for the NER/NEL dictionary — later sources can link
+    to entities earlier stages introduced).
+
+    With ``checkpoint_dir`` each stage snapshots through the
+    content-addressed Pipeline driver (resume skips completed stages);
+    without it, lineage is cut per stage with ``localCheckpoint`` so the
+    composed plan stays linear in stage count. Returns (kg, report).
+    """
+    from kgpipe_spark.plans.pipeline import Pipeline, Stage, code_token
+
+    def make_fn(src_fn, fusable):
+        def fn(df):
+            out = align_kg_increment(spark, df, src_fn(df), fusable, ontology)
+            return out if checkpoint_dir else out.localCheckpoint()
+
+        return fn
+
+    stage_objs = [
+        Stage(
+            name,
+            make_fn(src_fn, fusable),
+            config={"code": code_token(align_kg_increment, src_fn)},
+        )
+        for name, src_fn, fusable in stages
+    ]
+    pipe = Pipeline(spark, stage_objs, checkpoint_dir=checkpoint_dir)
+    out = pipe.run(seed, input_fingerprint=input_fingerprint)
+    return out, pipe.report
+
+
 def _fusable(spark: SparkSession, ontology: DataFrame) -> DataFrame:
     from kgpipe_spark.operators.fusion import fusable_predicates
 

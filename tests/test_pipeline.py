@@ -109,3 +109,103 @@ def test_flagship_checkpointed_matches_and_resumes(spark, small_corpus, seed, tm
 
 def direct_cols(df):
     return ["subject", "predicate", "object_lex", "object_kind", "object_datatype"]
+
+
+def _mini_kg(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_lex string, object_kind string, object_datatype string",
+    )
+
+
+_RL = "http://www.w3.org/2000/01/rdf-schema#label"
+_XS = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _mini_ontology(spark):
+    return spark.createDataFrame(
+        [("http://kg.org/prop/nation", "nation", None,
+          "http://kg.org/onto/Customer", "http://kg.org/onto/Nation", "true", 1)],
+        "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+    )
+
+
+def test_incremental_msp_resume_skips_completed_stages(spark, tmp_path):
+    """The 3-split incremental loop through the checkpoint driver: a rerun
+    with the same fingerprint skips every completed stage (stage fns never
+    invoked), and editing a later stage's source invalidates only it and
+    downstream (hash chain)."""
+    from kgpipe_spark.pipelines import run_incremental_msp
+
+    seed = _mini_kg(spark, [
+        ("http://kg.org/cust/1", _RL, "Alice", "literal", _XS),
+        ("http://kg.org/cust/2", _RL, "Bob", "literal", _XS),
+    ])
+    src1 = _mini_kg(spark, [
+        ("http://other.org/a", _RL, "Alice", "literal", _XS),
+        ("http://other.org/a", "http://kg.org/prop/x", "1", "literal", _XS),
+    ])
+    src2 = _mini_kg(spark, [
+        ("http://elsewhere.org/b", _RL, "Bob", "literal", _XS),
+        ("http://elsewhere.org/b", "http://kg.org/prop/y", "2", "literal", _XS),
+    ])
+    fusable = spark.createDataFrame([(_RL,)], ["predicate"])
+    calls = []
+
+    def s1(kg):
+        calls.append("s1")
+        return src1
+
+    def s2(kg):
+        calls.append("s2")
+        return src2
+
+    onto = _mini_ontology(spark)
+    stages = [("rdf", s1, fusable), ("rdf2", s2, fusable)]
+    out1, rep1 = run_incremental_msp(
+        spark, seed, stages, onto, checkpoint_dir=str(tmp_path), input_fingerprint="t"
+    )
+    rows1 = {tuple(r) for r in out1.collect()}
+    assert [r["status"] for r in rep1] == ["done", "done"]
+    assert calls == ["s1", "s2"]
+    # matched source entities were canonicalized onto the seed URIs
+    assert ("http://kg.org/cust/1", "http://kg.org/prop/x", "1", "literal", _XS) in rows1
+    assert ("http://kg.org/cust/2", "http://kg.org/prop/y", "2", "literal", _XS) in rows1
+
+    # resume: same fingerprint -> both stages skipped, stage fns not re-run
+    out2, rep2 = run_incremental_msp(
+        spark, seed, stages, onto, checkpoint_dir=str(tmp_path), input_fingerprint="t"
+    )
+    assert [r["status"] for r in rep2] == ["skipped", "skipped"]
+    assert calls == ["s1", "s2"]
+    assert {tuple(r) for r in out2.collect()} == rows1
+
+    # editing stage 2's source invalidates it (and only it): stage 1 skipped
+    def s2_edited(kg):
+        calls.append("s2e")
+        return src2.filter("predicate IS NOT NULL")
+
+    stages3 = [("rdf", s1, fusable), ("rdf2", s2_edited, fusable)]
+    _out3, rep3 = run_incremental_msp(
+        spark, seed, stages3, onto, checkpoint_dir=str(tmp_path), input_fingerprint="t"
+    )
+    assert [r["status"] for r in rep3] == ["skipped", "done"]
+    assert calls == ["s1", "s2", "s2e"]
+
+
+def test_fingerprint_tracks_parquet_content(spark, tmp_path):
+    """Checkpoint input fingerprints follow the DATA, not the path: rewriting
+    the same directory with different rows yields a different fingerprint."""
+    import time
+
+    from kgpipe_spark.plans.pipeline import fingerprint_parquet_dir
+
+    path = str(tmp_path / "corpus")
+    spark.range(10).write.mode("overwrite").parquet(path)
+    f1 = fingerprint_parquet_dir(path)
+    assert f1 == fingerprint_parquet_dir(path)  # stable
+    time.sleep(0.05)
+    spark.range(20).write.mode("overwrite").parquet(path)
+    assert fingerprint_parquet_dir(path) != f1
+    # non-directory inputs hash the identifier string
+    assert fingerprint_parquet_dir("catalog.db.table") == fingerprint_parquet_dir("catalog.db.table")
