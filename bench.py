@@ -72,17 +72,20 @@ def main() -> None:
     # spikes (load-avg bursts of 5-12 with zero local processes were
     # measured mid-bench), which otherwise add 2-3x noise to a single shot
     timings: dict[str, float] = {}
+    first_trial: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in bench_set:
         fn = queries.get(name)
         if fn is None:
             continue
         best, n = None, 0
-        for _trial in range(2):
+        for trial in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
+            if trial == 0:
+                first_trial[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         if name == "kg_flagship_pipeline":
@@ -90,6 +93,9 @@ def main() -> None:
             extra["flagship_triples_per_sec"] = round(n / best, 1)
 
     total = round(sum(timings.values()), 3)
+    # both methodologies reported so round-over-round deltas compare
+    # like-for-like either way (round-2 verdict 'what's wrong' #4): value =
+    # min-of-2 steady state; *_trial1 = cold single-shot (the round-1 method)
     out = {
         "metric": "kg_construct_headline_total",
         "value": total,
@@ -97,6 +103,8 @@ def main() -> None:
         "trials_per_query": 2,
         "timing": "min of 2 trials (steady-state; excludes per-shape codegen compile + host steal spikes)",
         "queries": timings,
+        "total_trial1": round(sum(first_trial.values()), 3),
+        "queries_trial1": first_trial,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         **extra,

@@ -313,9 +313,25 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_col: str | None = None,
+    max_all_pairs: int = 20_000,
 ) -> DataFrame:
     """Cosine ≥ t pairs. With ``bucket_col``, pairs are only searched within
-    buckets (IVF-style); without, all pairs (use only at small n)."""
+    buckets (IVF-style). Without one, the input is COUNTED first: up to
+    ``max_all_pairs`` rows run all-pairs exactly; above it, buckets are
+    auto-derived from deterministic hyperplane LSH so the pair count stays
+    bounded instead of going quadratic — at 100 TB an unbucketed cartesian
+    is a plan that never finishes, so the guard refuses to build one.
+    Auto-bucketing is approximate (cross-bucket near-dups are missed), the
+    standard LSH recall trade-off; pass an explicit ``bucket_col`` to choose
+    the partitioning yourself."""
+    if bucket_col is None and embeddings.count() > max_all_pairs:
+        from kgpipe_spark.operators.similarity import random_hyperplane_buckets
+
+        buckets = random_hyperplane_buckets(embeddings, id_col=id_col, vec_col=vec_col)
+        embeddings = embeddings.join(
+            buckets.withColumnRenamed("vec_id", id_col), id_col
+        )
+        bucket_col = "bucket"
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),

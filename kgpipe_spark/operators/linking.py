@@ -100,17 +100,12 @@ def link_exact(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
 
 
 def _hash_embed_numpy(texts: "pd.Series", dim: int = EMBED_DIM) -> np.ndarray:
-    """Char-3-gram hashed embedding, L2-normalized. Deterministic, no deps."""
-    out = np.zeros((len(texts), dim), dtype=np.float32)
-    for i, t in enumerate(texts):
-        s = " " + (t or "").lower() + " "
-        for j in range(len(s) - 2):
-            g = s[j : j + 3]
-            h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:4], "little")
-            out[i, h % dim] += 1.0 if (h >> 31) & 1 == 0 else -1.0
-    norms = np.linalg.norm(out, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return out / norms
+    """Char-3-gram hashed embedding, L2-normalized. Deterministic, no deps.
+    (Kept as the module-level fast path; the pluggable provider seam lives
+    in ``functions.embedders`` — this is ``HashedGramEmbedder.encode``.)"""
+    from kgpipe_spark.functions.embedders import HashedGramEmbedder
+
+    return HashedGramEmbedder(dim).encode(texts)
 
 
 @F.pandas_udf(ArrayType(FloatType()))  # type: ignore[call-overload]
@@ -130,6 +125,7 @@ def link_embedding_topk(
     spark: SparkSession,
     accept: float = DEFAULT_ACCEPT,
     max_broadcast: int = 2_000_000,
+    embedder=None,
 ) -> DataFrame:
     """Residual mentions → top-1 cosine against broadcast label matrix.
 
@@ -138,6 +134,11 @@ def link_embedding_topk(
     (extract_json.py:73-96) but batched via Arrow. The distinct() before the
     UDF is the relational version of the reference's per-key memo cache.
 
+    ``embedder`` is any ``functions.embedders.Embedder`` (default: the
+    process-wide provider, a deterministic HashedGramEmbedder); swap in
+    ``SentenceTransformerEmbedder`` for a real model — the reference's
+    ``[ml]``-extra seam (st_emb.py:17).
+
     SCALE GUARD: a seed-KG dictionary broadcasts fine (2M labels × 64 dims
     ≈ 512 MB float32 — the documented ceiling), but a corpus-derived
     dictionary at 100 TB does not. Above ``max_broadcast`` rows this falls
@@ -145,6 +146,9 @@ def link_embedding_topk(
     char-3-gram Jaccard is the blocking surrogate the reference itself uses
     for long-tail entities.
     """
+    from kgpipe_spark.functions.embedders import get_default_embedder
+
+    emb = embedder if embedder is not None else get_default_embedder()
     over = dictionary.limit(max_broadcast + 1).count() > max_broadcast
     if over:
         linked_q = link_minhash_lsh(
@@ -154,7 +158,7 @@ def link_embedding_topk(
     dict_rows = dictionary.select("uri", "label").collect()
     uris = [r["uri"] for r in dict_rows]
     labels = pd.Series([r["label"] for r in dict_rows])
-    label_mat = _hash_embed_numpy(labels) if len(labels) else np.zeros((0, EMBED_DIM), np.float32)
+    label_mat = emb.encode(labels) if len(labels) else np.zeros((0, emb.dim), np.float32)
     bc = spark.sparkContext.broadcast((uris, label_mat))
 
     from pyspark.sql.types import StringType, StructField, StructType, DoubleType
@@ -168,7 +172,7 @@ def link_embedding_topk(
         uris_b, mat_b = bc.value
         if len(uris_b) == 0 or len(queries) == 0:
             return pd.DataFrame({"mapping": [None] * len(queries), "score": [None] * len(queries)})
-        q = _hash_embed_numpy(queries)
+        q = emb.encode(queries)
         sims = q @ mat_b.T  # (batch, dict) — both sides L2-normalized
         best = sims.argmax(axis=1)
         best_sim = sims[np.arange(len(queries)), best].astype(float)

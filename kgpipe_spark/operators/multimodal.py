@@ -82,6 +82,103 @@ def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
     )
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8 RGB. Pure Python/numpy, comment-aware
+    header parse. Real decoder — no external imaging deps."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB (rows are stored
+    bottom-up BGR with 4-byte padding; both are undone). Pure Python/numpy."""
+    import struct
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (int16 sample array, sample_rate). stdlib ``wave`` module."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype=np.int16), rate
+
+
+def _real_features(payload: bytes, dim: int) -> list[float]:
+    """Real decode → fixed-layout feature vector (padded to ``dim``):
+      image: [w, h, mean_r, mean_g, mean_b, std_r, std_g, std_b]
+      audio: [n_samples, sample_rate, mean, std, rms, zero_crossings]
+    Dispatch is by magic bytes (P6 PPM / BM BMP / RIFF WAV); compressed
+    codecs (JPEG/MP3/H.264 …) still need PIL/librosa/av and raise."""
+    if payload[:2] == b"P6":
+        img = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:4] == b"RIFF":
+        samples, rate = decode_wav(payload)
+        s = samples.astype(np.float64)
+        feats = [
+            float(len(samples)),
+            float(rate),
+            float(s.mean()) if len(s) else 0.0,
+            float(s.std()) if len(s) else 0.0,
+            float(np.sqrt((s * s).mean())) if len(s) else 0.0,
+            float(np.count_nonzero(np.diff(np.signbit(s)))),
+        ]
+        return (feats + [0.0] * dim)[:dim]
+    else:
+        raise NotImplementedError(
+            "no pure-python decoder for this payload; compressed codecs "
+            "(JPEG/MP3/video) require PIL/librosa/av — not installed"
+        )
+    h, w, _ = img.shape
+    px = img.reshape(-1, 3).astype(np.float64)
+    feats = [float(w), float(h)] + [float(m) for m in px.mean(axis=0)] + [
+        float(sd) for sd in px.std(axis=0)
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
 def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic fake 'decoded feature': md5-seeded float vector."""
     h = hashlib.md5(payload).digest()
@@ -92,21 +189,24 @@ def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Real decode (PIL/librosa/av) is NOT available in this container — the
-    decode call raises NotImplementedError unless ``fake=True``. Everything
-    around it (Arrow batching, schema, partition preservation) is real.
+    ``fake=False`` (default) REALLY decodes: pure-Python PPM / 24-bit BMP /
+    PCM-16 WAV decoders, fixed-layout stats features (``_real_features``).
+    Compressed codecs (JPEG/MP3/video) still require PIL/librosa/av — absent
+    in this container — and raise NotImplementedError per payload.
+    ``fake=True`` keeps the deterministic md5-derived pseudo-decode for
+    plumbing tests on arbitrary bytes. The Spark side (Arrow batching,
+    schema, partition preservation) is identical in both modes.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for payload in pdf["payload"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "media decode requires PIL/librosa/av — not installed; "
-                        "pass fake=True for the deterministic test path"
-                    )
-                feats.append(_fake_decode(bytes(payload), dim).tolist())
+                raw = bytes(payload)
+                if fake:
+                    feats.append(_fake_decode(raw, dim).tolist())
+                else:
+                    feats.append(_real_features(raw, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -116,6 +216,68 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 16) -> Dat
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def synth_decodable_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Deterministic REAL media fixture: PPM / BMP images and PCM WAV audio
+    whose bytes are generated per media_id (constant-color pixels, constant
+    samples), so decoded statistics are closed-form functions of media_id —
+    replayable by a SQL oracle while the decoder genuinely parses bytes."""
+    import io
+    import struct
+    import wave
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = 4 + mid % 5
+                h = 3 + mid % 4
+                r, g, b = mid % 256, (mid * 7) % 256, (mid * 13) % 256
+                if mid % 3 == 0:  # PPM
+                    payload = (f"P6\n{w} {h}\n255\n").encode() + bytes([r, g, b]) * (w * h)
+                    kind, width, height, dur = "image", w, h, None
+                elif mid % 3 == 1:  # BMP (bottom-up 24bpp, BGR, padded rows)
+                    row = bytes([b, g, r]) * w
+                    row += b"\x00" * ((-len(row)) % 4)
+                    data = row * h
+                    header = struct.pack(
+                        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+                    ) + struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+                    )
+                    payload = header + data
+                    kind, width, height, dur = "image", w, h, None
+                else:  # WAV: constant-amplitude PCM16
+                    n_samples = 100 + mid % 50
+                    val = mid % 1000
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(struct.pack(f"<{n_samples}h", *([val] * n_samples)))
+                    payload = buf.getvalue()
+                    kind, width, height = "audio", None, None
+                    dur = n_samples * 1000 // 8000
+                rows.append((mid, kind, payload, width, height, dur))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height", "duration_ms"]
+            )
+
+    flat = spark.range(n_rows).mapInPandas(
+        gen,
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    return flat.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("width"), F.col("height"), F.col("duration_ms"), F.lit("raw").alias("codec")
+        ).alias("meta"),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -237,12 +237,19 @@ def _stage_link_canonicalize(
     return canonicalize_triples(extracted, composed)
 
 
-def _stage_fuse_complete(
-    spark: SparkSession, canonical: DataFrame, seed: DataFrame
-) -> DataFrame:
-    """Stage 3: canonicalized triples → fused + type-completed KG."""
-    # ontology for type completion: code predicates + movie props
-    ontology = spark.createDataFrame(
+def default_flagship_ontology(spark: SparkSession, seed: DataFrame) -> DataFrame:
+    """Ontology for fusion + type completion: DERIVED from the seed KG's own
+    rdfs:domain/range/owl:maxCardinality declarations via
+    ``extract_ontology_from_rdf`` (transform.py), so the flagship follows
+    whatever schema the target KG declares. Seeds that declare nothing (the
+    demo corpus) fall back to the built-in movie/code property table — the
+    flagship is parameterized, not schema-bound."""
+    from kgpipe_spark.operators.transform import extract_ontology_from_rdf
+
+    derived = extract_ontology_from_rdf(seed)
+    if not derived.isEmpty():
+        return derived
+    return spark.createDataFrame(
         [
             (KG_NS + "prop/director", "director", None, KG_NS + "onto/EXCDocument", KG_NS + "onto/Person", "true", 1),
             (KG_NS + "prop/starring", "starring", None, KG_NS + "onto/EXCDocument", None, "true", None),
@@ -252,6 +259,17 @@ def _stage_fuse_complete(
         ],
         "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
     )
+
+
+def _stage_fuse_complete(
+    spark: SparkSession,
+    canonical: DataFrame,
+    seed: DataFrame,
+    ontology: DataFrame | None = None,
+) -> DataFrame:
+    """Stage 3: canonicalized triples → fused + type-completed KG."""
+    if ontology is None:
+        ontology = default_flagship_ontology(spark, seed)
 
     fused = fuse_first_value(
         seed.select(*TRIPLE_COLS),
@@ -276,9 +294,13 @@ def run_flagship(
     corpus: DataFrame,
     seed: DataFrame,
     shuffle_partitions: int | None = None,
+    ontology: DataFrame | None = None,
 ) -> DataFrame:
     """Full extract→link→canonicalize→fuse→complete over a corpus DataFrame.
 
+    ``ontology`` (uri, label, aliases, domain, range, is_object_prop,
+    max_cardinality) drives fusion predicates + type completion; default =
+    the seed's own declarations (``default_flagship_ontology``).
     Returns the fused triples table (with the seed folded in).
     """
     # stage boundary: extraction feeds three downstream consumers (linking,
@@ -288,7 +310,7 @@ def run_flagship(
     # run_flagship_checkpointed for the durable variant).
     extracted = _stage_extract(spark, corpus, seed, shuffle_partitions).persist()
     canonical = _stage_link_canonicalize(spark, extracted, seed)
-    return _stage_fuse_complete(spark, canonical, seed)
+    return _stage_fuse_complete(spark, canonical, seed, ontology)
 
 
 def run_flagship_checkpointed(
@@ -298,6 +320,7 @@ def run_flagship_checkpointed(
     checkpoint_dir: str,
     input_fingerprint: str = "corpus",
     shuffle_partitions: int | None = None,
+    ontology: DataFrame | None = None,
 ):
     """Flagship run through the content-addressed checkpoint driver.
 
@@ -327,7 +350,7 @@ def run_flagship_checkpointed(
         ),
         Stage(
             "fuse_complete",
-            lambda df: _stage_fuse_complete(spark, df, seed),
+            lambda df: _stage_fuse_complete(spark, df, seed, ontology),
             config={"code": code_token(_stage_fuse_complete)},
         ),
     ]

@@ -123,8 +123,62 @@ def read_te_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("multiLine", "true").schema(TE_DOCUMENT_SCHEMA).json(path)
 
 
+def write_te_json(te_docs: DataFrame, out_dir: str) -> None:
+    """TE_Documents → one ``<doc_id>.json`` per doc under ``out_dir`` — the
+    TE_JSON exchange contract the reference emits (one TE_Document
+    ``model_dump_json`` per file, `aggregation.py:38-45`; filename is the
+    doc key). Rows stream through ``toLocalIterator`` (bounded driver
+    memory) — exchange sets are small by the time they are written; bulk KG
+    output goes to parquet sinks, not this format."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def span(s):
+        if s is None:
+            return None
+        return {
+            "start": s["start"],
+            "end": s["end"],
+            "surface_form": s["surface_form"],
+            "text": s["text"],
+            "mapping": s["mapping"],
+        }
+
+    for r in te_docs.toLocalIterator():
+        doc = {
+            "doc_id": r["doc_id"],
+            "text": r["text"],
+            "triples": [
+                {
+                    "subject": span(t["subject"]),
+                    "predicate": span(t["predicate"]),
+                    "object": span(t["object"]),
+                }
+                for t in (r["triples"] or [])
+            ],
+            "chains": [
+                {"main": c["main"], "aliases": [span(a) for a in (c["aliases"] or [])]}
+                for c in (r["chains"] or [])
+            ],
+            "links": [
+                {
+                    "span": l["span"],
+                    "mapping": l["mapping"],
+                    "link_type": l["link_type"],
+                    "score": l["score"],
+                }
+                for l in (r["links"] or [])
+            ],
+        }
+        with open(os.path.join(out_dir, f"{r['doc_id']}.json"), "w") as f:
+            json.dump(doc, f)
+
+
 def read_csv_table(spark: SparkSession, path: str, **options) -> DataFrame:
-    return spark.read.options(header=True, inferSchema=True, **options).csv(path)
+    opts: dict = {"header": True, "inferSchema": True}
+    opts.update(options)  # caller overrides win (e.g. inferSchema=False)
+    return spark.read.options(**opts).csv(path)
 
 
 def write_csv_table(df: DataFrame, path: str) -> None:

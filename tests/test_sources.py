@@ -68,3 +68,58 @@ def test_read_te_json(spark, tmp_path):
     assert r["doc_id"] == "d1"
     assert r["triples"][0]["subject"]["surface_form"] == "s"
     assert r["links"][0]["score"] == 0.9
+
+
+def test_csv_table_roundtrip(spark, tmp_path):
+    """CSV scan/sink contract (the round-2 untested §2.1 row): write →
+    read roundtrips values, header, and option overrides."""
+    from kgpipe_spark.sources.readers import read_csv_table, write_csv_table
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5, None), ("b; c", 2, -0.25, "x,y")],
+        "s string, i int, d double, opt string",
+    )
+    p = str(tmp_path / "tbl")
+    write_csv_table(df, p)
+    back = read_csv_table(spark, p)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # option override: no inference -> everything string
+    raw = read_csv_table(spark, p, inferSchema=False)
+    assert all(f.dataType.simpleString() == "string" for f in raw.schema.fields)
+
+
+def test_write_te_json_roundtrip(spark, tmp_path):
+    """TE JSON sink (round-2 verdict missing #3): one <doc_id>.json per doc,
+    readable back by read_te_json with identical structs."""
+    from kgpipe_spark.sources.readers import read_te_json, write_te_json
+
+    doc = {
+        "doc_id": "d1",
+        "text": "t",
+        "triples": [
+            {
+                "subject": {"start": 0, "end": 1, "surface_form": "s", "text": "s", "mapping": None},
+                "predicate": {"start": 0, "end": 1, "surface_form": "p", "text": "p", "mapping": None},
+                "object": {"start": 0, "end": 1, "surface_form": "o", "text": "o", "mapping": "http://x"},
+            }
+        ],
+        "chains": [{"main": "s", "aliases": [
+            {"start": 2, "end": 3, "surface_form": "it", "text": "it", "mapping": None}
+        ]}],
+        "links": [{"span": "s", "mapping": "http://x", "link_type": "entity", "score": 0.9}],
+    }
+    doc2 = {"doc_id": "d2", "text": "", "triples": [], "chains": [], "links": []}
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for d in (doc, doc2):
+        with open(os.path.join(src, d["doc_id"] + ".json"), "w") as f:
+            json.dump(d, f)
+    te = read_te_json(spark, src)
+
+    out = str(tmp_path / "sink")
+    write_te_json(te, out)
+    assert sorted(os.listdir(out)) == ["d1.json", "d2.json"]
+    back = read_te_json(spark, out)
+    assert {tuple(map(str, r)) for r in back.collect()} == {
+        tuple(map(str, r)) for r in te.collect()
+    }
