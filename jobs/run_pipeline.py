@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--output", default=None, help="parquet sink for the fused triples")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--stage-times",
+        action="store_true",
+        help="time each pipeline stage separately (persist+count barriers; "
+        "diagnostic mode — adds actions the plain run fuses away)",
+    )
     args = ap.parse_args()
 
     from kgpipe_spark.corpus import seed_kg, synth_corpus
@@ -79,6 +85,29 @@ def main() -> None:
         )
         for row in report:
             print(json.dumps({"stage_report": row}), file=sys.stderr)
+    elif args.stage_times:
+        # diagnostic: per-stage wall clock with persist+count barriers, so a
+        # scaling run can attribute serial residue to a specific stage
+        from kgpipe_spark.pipelines import (
+            _stage_extract,
+            _stage_fuse_complete,
+            _stage_link_canonicalize,
+        )
+
+        stage_times = {}
+        ts = time.time()
+        extracted = _stage_extract(spark, corpus, seed, args.shuffle_partitions).persist()
+        extracted.count()
+        stage_times["extract"] = round(time.time() - ts, 2)
+        ts = time.time()
+        canonical = _stage_link_canonicalize(spark, extracted, seed).persist()
+        canonical.count()
+        stage_times["link_canonicalize"] = round(time.time() - ts, 2)
+        ts = time.time()
+        triples = _stage_fuse_complete(spark, canonical, seed)
+        triples.count()
+        stage_times["fuse_complete"] = round(time.time() - ts, 2)
+        print(json.dumps({"stage_times": stage_times}), file=sys.stderr)
     else:
         triples = run_flagship(spark, corpus, seed)
     if args.output:

@@ -246,9 +246,16 @@ def default_flagship_ontology(spark: SparkSession, seed: DataFrame) -> DataFrame
     flagship is parameterized, not schema-bound."""
     from kgpipe_spark.operators.transform import extract_ontology_from_rdf
 
-    derived = extract_ontology_from_rdf(seed)
-    if not derived.isEmpty():
-        return derived
+    # cheap declaration probe FIRST (one pushed-down filter + limit-1 scan);
+    # only build the 5-way derived-ontology join when declarations exist —
+    # probing via extract_ontology_from_rdf(...).isEmpty() would run the
+    # whole join once per flagship call
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    has_decls = not seed.filter(
+        F.col("predicate").isin(RDFS + "domain", RDFS + "range")
+    ).isEmpty()
+    if has_decls:
+        return extract_ontology_from_rdf(seed)
     return spark.createDataFrame(
         [
             (KG_NS + "prop/director", "director", None, KG_NS + "onto/EXCDocument", KG_NS + "onto/Person", "true", 1),

@@ -41,7 +41,7 @@ spark.stop()
 """
 
 
-def run_pipeline_level(cores: int, rows: int) -> dict:
+def run_pipeline_level(cores: int, rows: int, stage_times: bool = False) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "run_pipeline.py"),
@@ -52,9 +52,16 @@ def run_pipeline_level(cores: int, rows: int) -> dict:
         "--shuffle-partitions",
         "48",
     ]
+    if stage_times:
+        cmd.append("--stage-times")
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    if stage_times:
+        st = [l for l in out.stderr.strip().splitlines() if '"stage_times"' in l]
+        if st:
+            res["stage_times"] = json.loads(st[-1])["stage_times"]
+    return res
 
 
 def run_calibration(cores: int) -> float:
@@ -89,6 +96,12 @@ def main() -> None:
     ceiling_eff = calib_speedup / 4.0
     normalized = speedup / calib_speedup if calib_speedup else 0.0
 
+    # diagnostic pass: per-stage wall clock at both levels (separate runs —
+    # the persist+count barriers change the fused plan, so these attribute
+    # the residual, they don't replace the headline timings)
+    stages_n = run_pipeline_level(N_CORES, rows, stage_times=True).get("stage_times", {})
+    stages_n4 = run_pipeline_level(N4_CORES, rows, stage_times=True).get("stage_times", {})
+
     report = {
         "rows": rows,
         "N_cores": N_CORES,
@@ -103,6 +116,8 @@ def main() -> None:
         "hw_ceiling_efficiency": round(ceiling_eff, 3),
         "scaling_efficiency_vs_ceiling": round(normalized, 3),
         "triples": n4["triples"],
+        "stage_times_N": stages_n,
+        "stage_times_4N": stages_n4,
     }
     print(json.dumps(report))
 
@@ -117,14 +132,15 @@ so the identical flagship job (corpus parquet scan → extract → link →
 canonicalize → fuse → type-complete, `jobs/run_pipeline.py`) runs at two
 local parallelism levels in separate JVMs, trials interleaved.
 
-**Hardware ceiling.** This VM cannot deliver linear scaling even for
-embarrassingly parallel JVM work (hypervisor CPU steal + per-core turbo at
-low thread counts): a pure `range → sha2 → max` job — no shuffle, no Python,
-no disk — speeds up only {report['hw_ceiling_speedup']}× from {N_CORES} to
-{N4_CORES} cores (efficiency {report['hw_ceiling_efficiency']}). Pipeline
-efficiency is therefore reported both raw and normalized to that measured
-ceiling; on real cluster hardware (flat clocks, dedicated cores) the raw
-number is the relevant one.
+**Hardware ceiling.** A pure `range → sha2 → max` calibration job — no
+shuffle, no Python, no disk — speeds up {report['hw_ceiling_speedup']}×
+from {N_CORES} to {N4_CORES} cores in this window (efficiency
+{report['hw_ceiling_efficiency']}). Pipeline efficiency is reported both
+raw and normalized to that ceiling. When the normalized value exceeds 1
+the short calibration job was noisier than the long pipeline run
+(hypervisor steal/turbo) and the RAW number is the binding one; on real
+cluster hardware (flat clocks, dedicated cores) raw is always the
+relevant number.
 
 | quantity | value |
 |---|---|
@@ -139,6 +155,17 @@ number is the relevant one.
 | hardware-ceiling speedup (pure-CPU calibration) | {report['hw_ceiling_speedup']}× |
 | **scaling efficiency vs measured hardware ceiling** | **{report['scaling_efficiency_vs_ceiling']}** |
 
+**Per-stage split** (diagnostic runs with persist+count barriers; shows
+where any serial residue lives — values don't sum to the headline because
+the barriers un-fuse the plan):
+
+| stage | N = local[{N_CORES}] | 4N = local[{N4_CORES}] | speedup |
+|---|---|---|---|
+""" + "".join(
+            f"| {k} | {stages_n.get(k, '?')} s | {stages_n4.get(k, '?')} s | "
+            f"{round(stages_n[k] / stages_n4[k], 2) if stages_n.get(k) and stages_n4.get(k) else '?'}× |\n"
+            for k in ("extract", "link_canonicalize", "fuse_complete")
+        ) + f"""
 Reproduce: `python scripts/scaling_bench.py {rows}`
 (each level: `python jobs/run_pipeline.py --master local[{{{N_CORES},{N4_CORES}}}] --rows {rows}`;
 ships to a real cluster via `spark-submit --py-files kgpipe_spark.zip`).
