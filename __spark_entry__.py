@@ -1709,6 +1709,25 @@ def _linkmedia_queries() -> dict:
 
     q["doc_media_real_decode"] = _media_real
 
+    # real decode → nearest-neighbor resize → re-encode → re-decode: the
+    # resized constant-color images must report the TARGET dims with the
+    # same channel stats (closed form in media_id)
+    def _media_resize(s, d):
+        from kgpipe_spark.operators.multimodal import (
+            extract_features as _xf,
+            resize_image_batch,
+            synth_decodable_media,
+        )
+
+        n = _read(s, d, "customer").count()
+        media = synth_decodable_media(s, n).filter(F.col("kind") == "image")
+        resized = resize_image_batch(media, target_w=8, target_h=6)
+        feats = _xf(resized, fake=False, dim=8)
+        f = lambda i: F.element_at("feature", i).cast("double").alias(f"f{i - 1}")
+        return feats.select("media_id", "n_bytes", *[f(i) for i in range(1, 6)])
+
+    q["doc_media_resize"] = _media_resize
+
     # json_sampler greedy set cover (json_sampler.py:57-74): 10 schema
     # shapes (5 segments × {with,without} "extra"); the cover is 1 even doc
     # (4 paths, min path string across segments) + the other 4 segments'
@@ -1830,6 +1849,28 @@ def _linkmedia_queries() -> dict:
         )
 
     q["kg_streaming_ingest"] = _streaming
+
+    # rows-only driver row (NO oracle_sql entry, by design): the two-pass
+    # dynamic-index replacement rides on MLlib MinHashLSH, whose hash family
+    # DuckDB cannot replay bit-exactly — the driver records the weaker
+    # rows/schema check here; semantics are pytest-verified on fixtures
+    # (tests/test_linking.py::test_link_two_pass_collapses_near_identical_minted)
+    def _link_two_pass(s, d):
+        from kgpipe_spark.operators.linking import label_dictionary, link_two_pass
+
+        kg1 = _base_triples(s, d)
+        d_nat = label_dictionary(
+            kg1.filter(F.col("subject").startswith(NAT)), include_alt=False
+        )
+        m = _link_mentions(s, d)
+        out = link_two_pass(m.select("query_text").distinct(), d_nat)
+        return (
+            out.select("query_text", "resolved_uri")
+            .dropDuplicates(["query_text"])
+            .orderBy("query_text")
+        )
+
+    q["kg_link_two_pass"] = _link_two_pass
 
     return q
 
@@ -2043,6 +2084,35 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
     q["rel_q3_top10"] = _q3
 
+    # TPC-H Q5 shape: 6-table local-supplier volume (customer and supplier
+    # in the same nation, nation in one region, date-ranged orders);
+    # revenue quantized to DECIMAL(20,4) terms so the sum is exact and
+    # order-independent cross-engine
+    def _q5(s, d):
+        region = _read(s, d, "region").filter(F.col("r_name") == "ASIA")
+        nation = _read(s, d, "nation")
+        cust = _read(s, d, "customer")
+        orders = _read(s, d, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        li = _read(s, d, "lineitem")
+        supp = _read(s, d, "supplier")
+        quant = lambda c: (F.floor(c * 10000).cast("decimal(30,0)") / 10000).cast("decimal(20,4)")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_revenue"))
+            .withColumn("revenue", (F.col("_revenue") * 10000).cast("long") / F.lit(10000.0))
+            .drop("_revenue")
+        )
+
+    q["rel_q5_local_volume"] = _q5
+
     def _enrich(s, d):
         cust = _read(s, d, "customer")
         nation = _read(s, d, "nation")
@@ -2102,6 +2172,66 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         )
 
     q["rel_events_sessionize"] = _sessionize
+
+    # the same sessionization as a CUSTOM STATEFUL STREAMING operator
+    # (applyInPandasWithState): events arrive as two time-ordered file
+    # chunks, per-user GroupState carries (last ts, counts) across
+    # micro-batches, and the final update per user must equal the batch
+    # lag-window result — which the oracle states directly
+    def _sessionize_stateful(s, d):
+        import hashlib
+        import shutil
+        import tempfile
+        import time as _time
+
+        from pyspark.sql.window import Window as W
+
+        from kgpipe_spark.streaming.stateful import sessionize_stream
+
+        tag = hashlib.md5(d.encode()).hexdigest()[:10]
+        base = os.path.join(tempfile.gettempdir(), f"kg_sess_state_{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+
+        ev = _read(s, d, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").cast("long").alias("tsec"),
+            "user_id",
+        )
+        cut = ev.agg(F.expr("percentile_approx(tsec, 0.5, 10000)")).collect()[0][0]
+        # a GLOBAL time split keeps per-user event order across chunks; the
+        # file source replays files in mtime order, so chunk 1 lands first
+        ev.filter(F.col("tsec") <= cut).coalesce(1).write.parquet(f"{in_dir}/c1")
+        _time.sleep(0.1)
+        ev.filter(F.col("tsec") > cut).coalesce(1).write.parquet(f"{in_dir}/c2")
+
+        stream = (
+            s.readStream.schema("event_id long, tsec long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*")
+        )
+        updates = sessionize_stream(stream, gap_seconds=1800)
+
+        def sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+        query = (
+            updates.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        allu = s.read.parquet(out_dir)
+        w = W.partitionBy("user_id").orderBy(F.desc("batch_id"))
+        return (
+            allu.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_sessions", "n_events")
+        )
+
+    q["rel_sessionize_stateful"] = _sessionize_stateful
 
     def _events_json(s, d):
         ev = _read(s, d, "events")
@@ -4030,6 +4160,21 @@ def _linkmedia_sql() -> dict:
     # greedy picks one even group (max gain 4; tie → min representative
     # path string), then the remaining segments' odd groups (gain 1,
     # smaller total set beats the same segment's even group)
+    sql["doc_media_resize"] = """
+        WITH ids AS (
+          SELECT CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS mid
+          FROM customer
+        )
+        SELECT mid AS media_id,
+               CAST(11 + 3 * 8 * 6 AS BIGINT) AS n_bytes,
+               CAST(8 AS DOUBLE) AS f0,
+               CAST(6 AS DOUBLE) AS f1,
+               CAST(mid % 256 AS DOUBLE) AS f2,
+               CAST((mid * 7) % 256 AS DOUBLE) AS f3,
+               CAST((mid * 13) % 256 AS DOUBLE) AS f4
+        FROM ids WHERE mid % 3 < 2
+    """
+
     sql["kg_json_sampler"] = """
         WITH docs AS (
           SELECT c_mktsegment AS seg, 'cust/' || c_custkey || '.json' AS path,
@@ -4479,6 +4624,40 @@ def _relational_sql() -> dict[str, str]:
         FROM g
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """
+
+    sql["rel_q5_local_volume"] = """
+        WITH g AS (
+          SELECT n_name,
+                 sum(CAST(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(30,0)) / 10000 AS DECIMAL(20,4))) AS _revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY n_name
+        )
+        SELECT n_name, CAST(_revenue * 10000 AS BIGINT) / 10000.0 AS revenue
+        FROM g
+    """
+
+    sql["rel_sessionize_stateful"] = """
+        WITH e AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+        ),
+        w AS (
+          SELECT user_id,
+                 tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap
+          FROM e
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM w GROUP BY user_id
     """
 
     sql["rel_join_enrich"] = """

@@ -280,6 +280,50 @@ def synth_decodable_media(spark: SparkSession, n_rows: int) -> DataFrame:
     )
 
 
+def resize_image_batch(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over decodable image payloads (PPM/BMP):
+    decode → index-map resample → re-encode as binary P6 PPM; meta width/
+    height updated, codec set to 'ppm'. Non-image rows pass through
+    untouched. mapInPandas keeps the Arrow batch shape of the decode path;
+    numpy does the resample — no imaging deps."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights, codecs = [], [], [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                if kind != "image":
+                    payloads.append(raw)
+                    widths.append(meta["width"])
+                    heights.append(meta["height"])
+                    codecs.append(meta["codec"])
+                    continue
+                img = decode_ppm(raw) if raw[:2] == b"P6" else decode_bmp(raw)
+                h, w, _ = img.shape
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                out = img[ys][:, xs]
+                payloads.append(
+                    f"P6\n{target_w} {target_h}\n255\n".encode() + out.tobytes()
+                )
+                widths.append(target_w)
+                heights.append(target_h)
+                codecs.append("ppm")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w_, "height": h_, "duration_ms": m["duration_ms"], "codec": c_}
+                        for w_, h_, c_, m in zip(widths, heights, codecs, pdf["meta"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video rows → (media_id, frame_ts_ms) sampling plan — pure JVM
     (sequence + explode); the actual frame decode plugs into

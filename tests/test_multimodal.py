@@ -101,3 +101,39 @@ def test_extract_features_real_path(spark):
     # sha-junk payloads are not decodable without external libs
     with pytest.raises(Exception):
         extract_features(synth_media(spark, 3), fake=False).collect()
+
+
+def test_resize_image_batch_real(spark):
+    """Nearest-neighbor resize really decodes, resamples, and re-encodes:
+    resized PPMs decode to the exact index-mapped pixels; audio rows pass
+    through untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kgpipe_spark.operators.multimodal import (
+        decode_ppm,
+        resize_image_batch,
+        synth_decodable_media,
+    )
+
+    # non-constant 4x2 source image with distinct pixel values
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = b"P6\n4 2\n255\n" + src.tobytes()
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(payload), (4, 2, None, "ppm")),
+         (1, "audio", bytearray(b"RIFFxxxx"), (None, None, 5, "pcm"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    out = {r["media_id"]: r for r in resize_image_batch(media, 2, 1).collect()}
+    resized = decode_ppm(bytes(out[0]["payload"]))
+    ys = (np.arange(1) * 2) // 1
+    xs = (np.arange(2) * 4) // 2
+    assert np.array_equal(resized, src[ys][:, xs])
+    assert out[0]["meta"]["width"] == 2 and out[0]["meta"]["height"] == 1
+    assert bytes(out[1]["payload"]) == b"RIFFxxxx"  # non-image untouched
+
+    # fixture path: BMP inputs also resize (re-encoded as PPM)
+    imgs = synth_decodable_media(spark, 6).filter(F.col("kind") == "image")
+    rs = resize_image_batch(imgs, 8, 6).collect()
+    assert all(decode_ppm(bytes(r["payload"])).shape == (6, 8, 3) for r in rs)

@@ -39,3 +39,74 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert n2 > n1
     # no duplicate (s,p,o) rows despite the overlap
     assert triples.dropDuplicates(["subject", "predicate", "object_lex", "object_kind"]).count() == n2
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization across micro-batch boundaries
+    equals the batch lag-window result — including a session that SPANS the
+    chunk boundary (state carries last event time, so it is not double
+    counted)."""
+    from pyspark.sql.window import Window
+
+    from kgpipe_spark.streaming.stateful import sessionize_stream
+
+    rows = [
+        # user 1: one session spanning the chunk boundary (gaps < 1800)
+        (1, 1000, 10), (2, 2000, 10), (3, 2500, 10),
+        # user 2: session 1 in chunk 1, session 2 in chunk 2 (gap > 1800)
+        (4, 1000, 20), (5, 9000, 20),
+        # user 3: only in chunk 2
+        (6, 5000, 30), (7, 5100, 30),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, tsec long, user_id long")
+    in_dir = str(tmp_path / "in")
+    ev.filter("tsec <= 2100").coalesce(1).write.parquet(in_dir + "/c1")
+    import time as _t
+
+    _t.sleep(0.1)
+    ev.filter("tsec > 2100").coalesce(1).write.parquet(in_dir + "/c2")
+
+    stream = (
+        spark.readStream.schema("event_id long, tsec long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+
+    def sink(bdf, bid):
+        bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    final = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+    # batch truth
+    wb = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.col("tsec") - F.lag("tsec").over(wb)
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert final == batch == {10: (1, 3), 20: (2, 2), 30: (1, 2)}
