@@ -1066,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _pipeline_tail(s, fused):
         """Shared §3.4 pipeline tail: type inference + type-row merge."""
+        # fused feeds three consumers (type filter, inference join, non-type
+        # filter) — persist so the fusion isn't recomputed per branch
+        fused = fused.persist()
         inferred = type_inference_simple(fused, _ontology(s))
         dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
         types = (
@@ -1098,10 +1101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kgpipe_spark.operators.matching import blocked_entity_matching
 
         kg1 = _base_triples(s, d)
+        # lineage cut: matching (tokens, sizes, neighbors) + canonicalize +
+        # fusion consume kg2 ~6×; without it the pandas-UDF extraction
+        # reruns per consumer (measured 47s → ~25s at sf0.1)
         kg2 = (
             extract_json_triples(_flagship_corpus(s, d))
             .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
             .distinct()
+            .localCheckpoint()
         )
         matches = blocked_entity_matching(kg1, kg2, threshold=0.5, neighbor_boost=0.1)
         canon2 = _canon(kg2, _paris_exchange_map(matches))

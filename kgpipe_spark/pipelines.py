@@ -391,6 +391,11 @@ def align_kg_increment(
 
     from kgpipe_spark.operators.matching import blocked_entity_matching
 
+    # the source KG feeds ~6 consumers below (token sets, sizes, neighbor
+    # sets, canonicalize, both fusion branches): persist once so an
+    # expression-tree source (e.g. a pandas-UDF extraction) is not
+    # re-evaluated per consumer
+    src_triples = src_triples.persist()
     matches = blocked_entity_matching(kg, src_triples, threshold=0.5, neighbor_boost=0.1)
     w = Window.partitionBy("id_2").orderBy(F.desc("score"), F.asc("id_1"))
     mmap = (
@@ -399,7 +404,9 @@ def align_kg_increment(
         .select(F.col("id_2").alias("entity"), F.col("id_1").alias("canonical"))
     )
     canon2 = canonicalize_triples(src_triples, mmap)
-    fused = fuse_first_value(kg, canon2, fusable)
+    # fused feeds three consumers (type filter, inference join, non-type
+    # filter) — persist so the fusion isn't recomputed per branch
+    fused = fuse_first_value(kg, canon2, fusable).persist()
     inferred = type_inference_simple(fused, ontology)
     dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
     types = (
