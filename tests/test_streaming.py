@@ -110,3 +110,67 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         .collect()
     }
     assert final == batch == {10: (1, 3), 20: (2, 2), 30: (1, 2)}
+
+
+def test_windowed_counts_with_watermark_drops_late_data(spark, tmp_path):
+    """Watermarked tumbling windows: on-time chunks aggregate exactly like
+    batch; an event arriving later than the watermark horizon is DROPPED
+    and its closed window is not resurrected."""
+    from kgpipe_spark.streaming.windowed import windowed_event_counts
+
+    rows = [
+        # chunk 1: two windows' worth of on-time events
+        (1, "2024-01-01 00:01:00", "click", 1.0),
+        (2, "2024-01-01 00:02:00", "click", 2.0),
+        (3, "2024-01-01 00:11:00", "view", 3.0),
+        # chunk 2: advances event time far past the watermark horizon...
+        (4, "2024-01-01 02:00:00", "click", 4.0),
+        # chunk 3: ...so this very late event (00:03) must be dropped
+        (5, "2024-01-01 00:03:00", "click", 100.0),
+        (6, "2024-01-01 02:01:00", "view", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    def run_available():
+        # each call is one availableNow run over the files present; the
+        # checkpoint carries the WATERMARK across runs, so chunks written
+        # between runs are guaranteed to see the advanced watermark
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, value double, ts timestamp"
+        ).parquet(in_dir + "/*")
+        q = (
+            windowed_event_counts(stream, "10 minutes", "30 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: on-time events only -> watermark still before the windows end
+    ev.filter("event_id <= 3").coalesce(1).write.parquet(f"{in_dir}/c0")
+    run_available()
+    # run 2: event time jumps to 02:00 -> watermark advances to 01:30,
+    # closing (and emitting) the 00:00 and 00:10 windows
+    ev.filter("event_id = 4").coalesce(1).write.parquet(f"{in_dir}/c1")
+    run_available()
+    # run 3: an event at 00:03 is far behind the checkpointed watermark
+    ev.filter("event_id >= 5").coalesce(1).write.parquet(f"{in_dir}/c2")
+    run_available()
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 00:00 click window closed with ONLY the on-time events (late
+    # event 5 dropped — no 100.0 in the total), 00:10 view window closed
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:10:00", "view")] == (1, 3.0)
+    assert ("2024-01-01 00:00:00", "click") in got
+    assert all(total < 100 for (_n, total) in got.values())
