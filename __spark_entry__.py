@@ -1857,11 +1857,11 @@ def _linkmedia_queries() -> dict:
 
     q["kg_streaming_ingest"] = _streaming
 
-    # rows-only driver row (NO oracle_sql entry, by design): the two-pass
-    # dynamic-index replacement rides on MLlib MinHashLSH, whose hash family
-    # DuckDB cannot replay bit-exactly — the driver records the weaker
-    # rows/schema check here; semantics are pytest-verified on fixtures
-    # (tests/test_linking.py::test_link_two_pass_collapses_near_identical_minted)
+    # fully oracle-backed since round 4: pass 2 now rides on the repo's own
+    # md5-derived Carter-Wegman MinHash (linking.minted_near_edges — the same
+    # engine-portable family as dedup.minhash_signatures), so DuckDB replays
+    # the whole two-pass linker bit-exactly; the round-3 MLlib MinHashLSH
+    # variant had no replayable oracle and wiped the driver's correctness file
     def _link_two_pass(s, d):
         from kgpipe_spark.operators.linking import label_dictionary, link_two_pass
 
@@ -2433,10 +2433,20 @@ def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-# Recorded-window priority: round-3 additions (never recorded), then the 42
-# registrations that fell outside the round-2 window — the 9 rel_* (4 were
-# red in round 1), doc_*, emb_*, and the soft/coverage queries.
+# Recorded-window priority: queries whose behavior changed this round or that
+# were never driver-recorded come first, then the registrations that fell
+# outside the round-2 window — the 9 rel_* (4 were red in round 1), doc_*,
+# emb_*, and the soft/coverage queries.
 _RECORD_FIRST = [
+    # round-4 new / behavior-changed (kg_link_two_pass got its oracle this
+    # round; the other three were registered in round 3 but missing from this
+    # list, so their oracles were never driver-recorded — ADVICE r3)
+    "kg_link_two_pass",
+    "doc_media_resize",
+    "rel_q5_local_volume",
+    "rel_sessionize_stateful",
+    "kg_remove_inconsistent",
+    "kg_flagship_pipeline",
     # round-3 new
     "kg_pipeline_json_a",
     "kg_pipeline_text_a",
@@ -4053,6 +4063,80 @@ def _linkmedia_sql() -> dict:
     # exact-name hits score 1.0 (identical strings → identical L2-normalized
     # embeddings); everything else is far below the 0.70 accept threshold,
     # so the expected link set is exactly the equijoin on the raw name
+    # two-pass dynamic-index replacement: pass-1 link-or-mint vs the
+    # nation-label dictionary, pass-2 banded md5 Carter-Wegman MinHash over
+    # char-3-grams of the minted norms (same family as doc_minhash_lsh_pairs),
+    # exact-Jaccard verify ≥ 0.5, recursive-CTE connected components, rewrite
+    # to the min-URI component representative
+    nqp = norm.format(c="m.query_text")
+    sql["kg_link_two_pass"] = f"""
+        WITH RECURSIVE {SQL_TRIPLES},
+        dict AS (
+          SELECT {norm.format(c="object_lex")} AS norm_label, min(subject) AS mapping
+          FROM triples
+          WHERE predicate = '{_RL}' AND subject LIKE 'http://kg.org/nation/%'
+          GROUP BY 1
+        ),
+        {mentions},
+        mdist AS (SELECT DISTINCT query_text FROM mentions),
+        pass1 AS MATERIALIZED (
+          SELECT m.query_text, d.mapping,
+                 CASE WHEN d.mapping IS NOT NULL THEN d.mapping
+                      ELSE 'http://kg.org/newE/' || sha256({nqp}) END AS resolved_uri,
+                 {nqp} AS norm_q
+          FROM mdist m LEFT JOIN dict d ON {nqp} = d.norm_label
+        ),
+        minted AS (
+          SELECT DISTINCT resolved_uri AS uri, norm_q AS norm FROM pass1 WHERE mapping IS NULL
+        ),
+        gsets AS MATERIALIZED (
+          SELECT uri,
+                 list_distinct(list_transform(generate_series(1, length(norm) - 2),
+                                              i -> substr(norm, i, 3))) AS grams
+          FROM minted WHERE length(norm) >= 3
+        ),
+        ab AS (
+          SELECT uri,
+                 CAST(CAST('0x' || substr(m, 1, 8) AS UBIGINT) AS BIGINT) AS a,
+                 CAST(CAST('0x' || substr(m, 9, 8) AS UBIGINT) AS BIGINT) AS b
+          FROM (SELECT uri, md5(unnest(grams)) AS m FROM gsets)
+        ),
+        mh AS (
+          SELECT uri, i, min((a + i * b) % 4294967296) AS h
+          FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+          GROUP BY uri, i
+        ),
+        sigs AS (SELECT uri, list(CAST(h AS VARCHAR) ORDER BY i) AS sig FROM mh GROUP BY uri),
+        bands AS (
+          SELECT uri, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) gb
+        ),
+        cand AS (
+          SELECT DISTINCT x.uri AS uri_a, y.uri AS uri_b
+          FROM bands x JOIN bands y USING (b, bucket)
+          WHERE x.uri < y.uri
+        ),
+        edges AS (
+          SELECT c.uri_a AS src, c.uri_b AS dst
+          FROM cand c
+          JOIN gsets ga ON ga.uri = c.uri_a
+          JOIN gsets gb2 ON gb2.uri = c.uri_b
+          WHERE CAST(len(list_intersect(ga.grams, gb2.grams)) AS DOUBLE)
+                / (len(ga.grams) + len(gb2.grams) - len(list_intersect(ga.grams, gb2.grams)))
+                >= 0.5
+        ),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach(a2, b2) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.a2, e.dst FROM reach r JOIN sym e ON e.src = r.b2
+        ),
+        components AS (SELECT a2 AS node, least(a2, min(b2)) AS component FROM reach GROUP BY a2),
+        canon AS (SELECT node, component FROM components WHERE node <> component)
+        SELECT p.query_text, coalesce(c.component, p.resolved_uri) AS resolved_uri
+        FROM pass1 p LEFT JOIN canon c ON c.node = p.resolved_uri
+    """
+
     sql["kg_link_embed_top1"] = f"""
         WITH {mentions}
         SELECT DISTINCT m.query_text, n.mapping,

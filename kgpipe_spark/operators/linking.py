@@ -275,20 +275,124 @@ def link_or_mint(linked_mentions: DataFrame, accept: float = DEFAULT_ACCEPT) -> 
     )
 
 
+def char_gram_set(norm: "F.Column", n: int = 3) -> "F.Column":
+    """Distinct char-n-grams of an (already normalized) string, JVM-side.
+
+    ``sequence(1, length-2)`` would run *descending* for short strings
+    (Spark's sequence fills stop < start), so the under-length case is
+    guarded to an empty array explicitly.
+    """
+    return F.when(
+        F.length(norm) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+                lambda i: F.substring(norm, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minted_near_edges(
+    minted_dict: DataFrame,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(src, dst) edges between minted URIs whose normalized surfaces are
+    near-identical: banded MinHash-LSH candidates over char-3-gram sets,
+    verified by exact set Jaccard ≥ threshold.
+
+    Same md5-derived Carter-Wegman hash family as ``dedup.minhash_signatures``
+    (sig[i] = min over grams of (a + i·b) mod 2^32 with (a, b) the first two
+    32-bit words of md5(gram)) — deterministic and engine-portable, so the
+    whole two-pass linker replays bit-exactly in DuckDB (unlike MLlib
+    MinHashLSH, whose hash family an external oracle cannot reproduce).
+    Pure JVM: candidates are banded/bucketed (no all-pairs), the Jaccard
+    verify join touches only bucket-collision survivors — the 100 TB path.
+
+    Input: (uri, norm) — one row per minted uri (uri ↔ norm is 1:1, the uri
+    IS sha256(norm)).
+    """
+    rows_per_band = num_hashes // bands
+    grams = minted_dict.select(
+        "uri", char_gram_set(F.col("norm")).alias("grams")
+    ).filter(F.size("grams") > 0)
+    # localCheckpoint: both sides of the band self-join and the verify join
+    # descend from `grams` — break the twin lineage once (same rationale as
+    # dedup.minhash_lsh_pairs).
+    grams = grams.localCheckpoint(eager=False)
+    ab = grams.select(
+        "uri",
+        F.explode("grams").alias("s"),
+    ).select(
+        "uri",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("b"),
+    )
+    mins = ab.groupBy("uri").agg(
+        *[
+            F.min((F.col("a") + F.lit(i) * F.col("b")) % F.lit(4294967296)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = mins.select(
+        "uri", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    banded = sig.select(
+        "uri",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("uri", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.select(F.col("uri").alias("uri_a"), "band", "bucket")
+        .join(banded.select(F.col("uri").alias("uri_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("uri_a") < F.col("uri_b"))
+        .select("uri_a", "uri_b")
+        .dropDuplicates()
+    )
+    g = grams.select("uri", "grams")
+    verified = (
+        cand.join(g.select(F.col("uri").alias("uri_a"), F.col("grams").alias("g_a")), "uri_a")
+        .join(g.select(F.col("uri").alias("uri_b"), F.col("grams").alias("g_b")), "uri_b")
+        .withColumn("_inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("_union", F.size("g_a") + F.size("g_b") - F.col("_inter"))
+        .filter(F.col("_inter") / F.col("_union") >= jaccard_threshold)
+    )
+    return verified.select(F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"))
+
+
 def link_two_pass(
     mentions: DataFrame,
     dictionary: DataFrame,
     accept: float = DEFAULT_ACCEPT,
     jaccard_threshold: float = 0.5,
-    num_hash_tables: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
     """Two-pass replacement for the reference's mutable dynamic index
     (extract_json.py:84-89,498-510).
 
     Pass 1: exact-dictionary link-or-mint. Identical normalized surfaces
     already share one sha256-minted URI. Pass 2: the minted residual's
-    surfaces are MinHash-LSH self-joined (all pairs ≥ jaccard_threshold) and
-    clustered via connected components, so *near*-identical new surfaces
+    normalized surfaces are MinHash-LSH self-joined (``minted_near_edges`` —
+    the repo's own md5-derived, DuckDB-replayable hash family, NOT MLlib)
+    and clustered via connected components, so *near*-identical new surfaces
     collapse to one canonical minted URI (min URI per component — the
     deterministic batch analogue of the reference's order-dependent
     "first minted entity wins").
@@ -297,30 +401,14 @@ def link_two_pass(
 
     pass1 = link_or_mint(link_exact(mentions, dictionary), accept)
     minted = pass1.filter(F.col("mapping").isNull())
-    # localCheckpoint breaks the twin lineage: both sides of the LSH
-    # self-join below descend from `minted`, which trips a Spark 4.x
-    # optimizer mis-plan (zero-entry vectors reach the LSH hash UDF) when
-    # left as one shared plan — same family as the exceptAll twin-plan bug.
-    minted_dict = (
-        minted.select(F.col("resolved_uri").alias("uri"), F.col("query_text").alias("label"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    fuzzy = link_minhash_lsh(
-        minted_dict.select(F.col("label").alias("query_text")),
-        minted_dict,
-        jaccard_threshold,
-        num_hash_tables,
-        keep_all=True,
-    )
-    own = minted_dict.select(
-        F.col("label").alias("query_text"), F.col("uri").alias("own_uri")
-    )
-    edges = (
-        fuzzy.join(own, "query_text")
-        .filter(F.col("mapping") != F.col("own_uri"))
-        .select(F.col("own_uri").alias("src"), F.col("mapping").alias("dst"))
-    )
+    # uri = sha256(normalized surface), so uri ↔ norm is functional; dedup by
+    # uri keeps one deterministic (uri, norm) row even when several raw
+    # surfaces normalize identically.
+    minted_dict = minted.select(
+        F.col("resolved_uri").alias("uri"),
+        normalize_label(F.col("query_text")).alias("norm"),
+    ).dropDuplicates(["uri"])
+    edges = minted_near_edges(minted_dict, jaccard_threshold, num_hashes, bands)
     comp = connected_components(edges)
     rewrite = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("resolved_uri"), F.col("component").alias("_canon")

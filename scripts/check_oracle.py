@@ -108,7 +108,11 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows (no oracle)")
+            # FAIL-CLOSED (round-4): an oracle-less registration is exactly
+            # the contract drift that zeroed CORRECTNESS_r03.json — every
+            # queries() entry MUST have an oracle_sql() entry.
+            failures.append(name)
+            print(f"FAIL {name}: {len(srows)} rows but NO oracle_sql entry")
             continue
         try:
             res = con.execute(oracles[name])

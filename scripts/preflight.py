@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Driver-artifact preflight: assert the __spark_entry__ contract invariants
+that, when broken, silently zero the driver's recorded artifacts (round 3:
+one oracle-less queries() entry wiped CORRECTNESS_r03.json).
+
+Checks (fast, no Spark unless --gate):
+  1. entry / queries / oracle_sql exist and enumerate without error
+  2. EVERY queries() name has an oracle_sql() entry (fail-closed — no
+     "rows-only" rows; the driver contract in evidence records rows+schema+
+     hash per query and nothing weaker)
+  3. no orphan oracles (oracle_sql() names absent from queries())
+  4. _RECORD_FIRST names all resolve to live registrations
+  5. with --gate [sf_dir] [budget_sec]: run the full check_oracle gate and
+     fail if it exceeds the wall-time budget (default 600 s — headroom under
+     host steal for a driver-side budget)
+
+Usage: python scripts/preflight.py [--gate [sf_dir] [budget_sec]]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    errors: list[str] = []
+
+    for fn in ("entry", "queries", "oracle_sql"):
+        if not callable(getattr(entrymod, fn, None)):
+            errors.append(f"missing driver hook: {fn}()")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if not queries:
+        errors.append("queries() is empty")
+
+    missing = sorted(set(queries) - set(oracles))
+    if missing:
+        errors.append(f"{len(missing)} queries() entries with NO oracle_sql(): {missing}")
+    orphans = sorted(set(oracles) - set(queries))
+    if orphans:
+        errors.append(f"{len(orphans)} orphan oracle_sql() entries: {orphans}")
+
+    stale = sorted(set(entrymod._RECORD_FIRST) - set(queries))
+    if stale:
+        errors.append(f"_RECORD_FIRST names not registered: {stale}")
+
+    for name, fn in queries.items():
+        if not callable(fn):
+            errors.append(f"queries()[{name!r}] is not callable")
+    for name, q in oracles.items():
+        if not isinstance(q, str) or not q.strip():
+            errors.append(f"oracle_sql()[{name!r}] is not a non-empty string")
+
+    print(f"{len(queries)} queries, {len(oracles)} oracles; "
+          f"{len(entrymod._RECORD_FIRST)} in the priority window")
+
+    if "--gate" in sys.argv:
+        rest = [a for a in sys.argv[sys.argv.index("--gate") + 1 :] if not a.startswith("-")]
+        sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "/root/testdata/sf0.01"
+        budget = float(rest[-1]) if rest and not os.path.isdir(rest[-1]) else 600.0
+        t0 = time.time()
+        rc = subprocess.call(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "check_oracle.py"), sf_dir]
+        )
+        wall = time.time() - t0
+        la = os.getloadavg()
+        print(f"gate wall-time {wall:.1f}s (budget {budget:.0f}s), loadavg {la[0]:.1f}")
+        if rc != 0:
+            errors.append(f"check_oracle gate failed (rc={rc})")
+        if wall > budget:
+            errors.append(f"gate wall-time {wall:.1f}s exceeds budget {budget:.0f}s")
+
+    if errors:
+        for e in errors:
+            print(f"PREFLIGHT FAIL: {e}")
+        return 1
+    print("PREFLIGHT OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
