@@ -1840,9 +1840,11 @@ def _linkmedia_queries() -> dict:
 
         from kgpipe_spark.streaming.ingest import stream_corpus_to_triples
 
-        # deterministic scratch dir per sf_dir, wiped at the start so reruns
-        # are idempotent; the output stays on disk for the lazy read-back
-        tag = hashlib.md5(d.encode()).hexdigest()[:10]
+        # scratch dir keyed by sf_dir AND applicationId (concurrent sessions
+        # on the same dataset must not rmtree each other), wiped at the start
+        # so reruns are idempotent; the output stays on disk for the lazy
+        # read-back
+        tag = hashlib.md5(d.encode()).hexdigest()[:10] + "_" + s.sparkContext.applicationId
         base = os.path.join(tempfile.gettempdir(), f"kg_stream_q_{tag}")
         shutil.rmtree(base, ignore_errors=True)
         in_dir = f"{base}/in"
@@ -2195,7 +2197,9 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
         from kgpipe_spark.streaming.stateful import sessionize_stream
 
-        tag = hashlib.md5(d.encode()).hexdigest()[:10]
+        # applicationId in the scratch path (as kg_csv_roundtrip does) so two
+        # concurrent sessions on the same dataset can't rmtree each other
+        tag = hashlib.md5(d.encode()).hexdigest()[:10] + "_" + s.sparkContext.applicationId
         base = os.path.join(tempfile.gettempdir(), f"kg_sess_state_{tag}")
         shutil.rmtree(base, ignore_errors=True)
         in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
@@ -2207,10 +2211,16 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         )
         cut = ev.agg(F.expr("percentile_approx(tsec, 0.5, 10000)")).collect()[0][0]
         # a GLOBAL time split keeps per-user event order across chunks; the
-        # file source replays files in mtime order, so chunk 1 lands first
+        # file source replays files in mtime order, so chunk 1 must sort
+        # first — set EXPLICIT distinct mtimes (os.utime) instead of relying
+        # on write-time ordering, which is fragile on coarse-mtime filesystems
         ev.filter(F.col("tsec") <= cut).coalesce(1).write.parquet(f"{in_dir}/c1")
-        _time.sleep(0.1)
         ev.filter(F.col("tsec") > cut).coalesce(1).write.parquet(f"{in_dir}/c2")
+        t0 = _time.time() - 120
+        for sub, off in (("c1", 0), ("c2", 60)):
+            for root, _, files in os.walk(f"{in_dir}/{sub}"):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t0 + off, t0 + off))
 
         stream = (
             s.readStream.schema("event_id long, tsec long, user_id long")

@@ -32,12 +32,16 @@ def evaluate_expected_links(
     in the hash-minted seed form ``http://kg.org/resource/<sha256(id)>``
     (check_links accepts both, te_task_eval.py:57-70 via get_as_seed_uri +
     benchutils.hash_uri): the expected set is expanded with the alternate
-    before the join; n_exp stays the ORIGINAL expected count.
+    before the join; n_exp stays the ORIGINAL expected count. Each link ROW
+    contributes at most 1 even if its mapping matches both the verbatim form
+    of one expected id and the hash-minted form of another (check_links
+    increments once per link): links carry their per-doc array position and
+    the true count is count(DISTINCT pos) per doc.
     """
     links = (
-        te_docs.select("doc_id", F.explode("links").alias("l"))
+        te_docs.select("doc_id", F.posexplode("links").alias("pos", "l"))
         .filter((F.col("l.link_type") == link_type) & (F.col("l.score") > threshold))
-        .select("doc_id", F.col("l.mapping").alias("mapping"))
+        .select("doc_id", "pos", F.col("l.mapping").alias("mapping"))
     )
     exp = expected.select("doc_id", "entity_id")
     exp_targets = (
@@ -61,7 +65,7 @@ def evaluate_expected_links(
             (links.doc_id == exp_targets.doc_id) & (links.mapping == exp_targets.target),
         )
         .groupBy(links.doc_id.alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("n_true"))
+        .agg(F.countDistinct(links.pos).alias("n_true"))
     )
     exp_per_doc = exp.join(doc_ids, "doc_id", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_exp")

@@ -324,14 +324,24 @@ def embedding_near_duplicates(
     Auto-bucketing is approximate (cross-bucket near-dups are missed), the
     standard LSH recall trade-off; pass an explicit ``bucket_col`` to choose
     the partitioning yourself."""
-    if bucket_col is None and embeddings.count() > max_all_pairs:
-        from kgpipe_spark.operators.similarity import random_hyperplane_buckets
+    if bucket_col is None:
+        # materialize ONCE before the guard count — the bucket join and the
+        # pair join below would otherwise re-evaluate a potentially expensive
+        # upstream 2-3×; localCheckpoint also breaks the twin lineage of the
+        # a/b self-join
+        embeddings = embeddings.localCheckpoint(eager=True)
+        if embeddings.count() > max_all_pairs:
+            from kgpipe_spark.operators.similarity import random_hyperplane_buckets
 
-        buckets = random_hyperplane_buckets(embeddings, id_col=id_col, vec_col=vec_col)
-        embeddings = embeddings.join(
-            buckets.withColumnRenamed("vec_id", id_col), id_col
-        )
-        bucket_col = "bucket"
+            # collision-safe derived-bucket name: the input may legitimately
+            # carry its own 'bucket' column that the caller chose NOT to use
+            buckets = (
+                random_hyperplane_buckets(embeddings, id_col=id_col, vec_col=vec_col)
+                .withColumnRenamed("vec_id", id_col)
+                .withColumnRenamed("bucket", "_auto_bucket")
+            )
+            embeddings = embeddings.drop("_auto_bucket").join(buckets, id_col)
+            bucket_col = "_auto_bucket"
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The decode step itself is STUBBED (the decode libraries are not in this
-container): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode so the
-Spark-side plumbing — schema, partitioning, mapInPandas batch shape, UDF
-signatures — is real and tested end-to-end.
+Uncompressed formats decode FOR REAL via pure-Python parsers — PPM (P6), BMP
+(24-bit), WAV (PCM) — with ``fake=False`` the default; a deterministic fake
+decode remains available (``fake=True``) for tests that only exercise batch
+shape. Only compressed codecs (JPEG/PNG/MP3/video) raise NotImplementedError,
+because their decode libraries are not in this container; the Spark-side
+plumbing — schema, partitioning, mapInPandas batch shape, UDF signatures —
+is real and tested end-to-end either way, including nearest-neighbor image
+resize with P6 re-encode.
 
 Schema convention:
     media(media_id BIGINT, kind STRING, payload BINARY,

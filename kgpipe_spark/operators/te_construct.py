@@ -586,16 +586,40 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
     # candidate generation must be recall-complete over shared grams, and
     # the props side is ontology-sized so any-gram blocking stays tiny
     pairs = cosine_pairs(mentions, props, prefix_filter=False)
-    # Recall backstop: a surface made up ONLY of grams hotter than max_block
-    # gets no candidates from blocking (the reference links every surface).
-    # Brute-force those leftovers against the full (small) props side with
-    # the identical exact cosine, so the union preserves bit-exact scores.
-    from kgpipe_spark.eval.soft import cosine_all_pairs
+    # Recall backstop: blocking drops grams hotter than max_block, so a
+    # mention whose true argmax pair shares ONLY hot grams can surface a
+    # weaker candidate as top-1 — not just the fully-uncovered case. Any
+    # mention touching at least one hot gram (plus the zero-candidate
+    # leftovers: all-hot or under-length surfaces) is re-scored against the
+    # full (ontology-small) props side with the identical exact cosine, so
+    # the union preserves bit-exact scores and argmax completeness.
+    from kgpipe_spark.eval.soft import (
+        DEFAULT_MAX_BLOCK,
+        _grams_distinct,
+        cosine_all_pairs,
+    )
 
+    lg = _grams_distinct(mentions, "id", "text")
+    rg = _grams_distinct(props, "id", "text")
+    hot = (
+        lg.groupBy("g").agg(F.count(F.lit(1)).alias("nl"))
+        .join(rg.groupBy("g").agg(F.count(F.lit(1)).alias("nr")), "g", "outer")
+        .filter(
+            (F.coalesce("nl", F.lit(0)) > DEFAULT_MAX_BLOCK)
+            | (F.coalesce("nr", F.lit(0)) > DEFAULT_MAX_BLOCK)
+        )
+        .select("g")
+    )
+    touched = lg.join(hot, "g", "left_semi").select("id").distinct()
     uncovered = mentions.join(
         pairs.select(F.col("lid").alias("id")).distinct(), "id", "left_anti"
     )
-    pairs = pairs.unionByName(cosine_all_pairs(uncovered, props))
+    to_brute = mentions.join(touched, "id", "left_semi").unionByName(uncovered).dropDuplicates(
+        ["id"]
+    )
+    pairs = pairs.join(
+        to_brute.select(F.col("id").alias("lid")), "lid", "left_anti"
+    ).unionByName(cosine_all_pairs(to_brute, props))
     best = (
         pairs.withColumn(
             "rn",
