@@ -1251,6 +1251,205 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_incremental_3stage"] = _incremental_3stage
 
+    # MSP order permutation (test_inc_msp.py:17-33 parametrizes PERMUTATIONS
+    # of one SSP per source format, config.py:60-64): the same three sources
+    # folded in text → rdf → json order — proves order-dependent fold-in
+    # (later sources link against entities earlier stages introduced)
+    def _incremental_msp_perm2(s, d):
+        from kgpipe_spark.operators.extract import (
+            extract_json_triples,
+            extract_text_surface_triples,
+        )
+        from kgpipe_spark.operators.linking import label_dictionary
+        from kgpipe_spark.operators.te_construct import (
+            aggregate_te_documents,
+            label_alias_embedding_rl,
+            link_te_entities_dictionary,
+            surface_triples_to_te_documents,
+            te_documents_to_triples,
+        )
+        from kgpipe_spark.pipelines import run_incremental_msp
+
+        seed = _base_triples(s, d)
+        onto_text = s.createDataFrame(
+            [
+                (P + "director", "directed by", ["director"], O + "Movie", O + "Person", "true", None),
+                (P + "stars", "stars", ["cast member"], O + "Movie", O + "Person", "true", None),
+                (P + "writer", "written by", ["writer"], O + "Movie", O + "Person", "true", None),
+            ],
+            "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+        )
+        rdf_src = _soft_actual(s, d)
+        json_src = (
+            extract_json_triples(_flagship_corpus(s, d))
+            .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
+            .distinct()
+        )
+
+        def text_src(kg):
+            te = surface_triples_to_te_documents(
+                extract_text_surface_triples(_text_corpus(s, d))
+            )
+            te = label_alias_embedding_rl(te, onto_text).localCheckpoint()
+            spot_dict = label_dictionary(
+                kg.filter(
+                    F.col("subject").startswith(NAT) | F.col("subject").startswith(REG)
+                ),
+                include_alt=False,
+            )
+            te = link_te_entities_dictionary(aggregate_te_documents(te), spot_dict)
+            return te_documents_to_triples(te, onto_text, mappings_only=True).localCheckpoint()
+
+        def fus(preds):
+            return s.createDataFrame([(x,) for x in preds], ["predicate"])
+
+        stages = [
+            ("text", text_src, fus([RDFS_LABEL])),
+            ("rdf", lambda kg: rdf_src, fus([RDFS_LABEL, P + "mktsegment"])),
+            ("json", lambda kg: json_src, fus([RDFS_LABEL, P + "segment"])),
+        ]
+        out, _report = run_incremental_msp(s, seed, stages, _ontology(s))
+        return out
+
+    q["kg_incremental_msp_perm2"] = _incremental_msp_perm2
+
+    # the json_b pipeline composition (SURVEY §3.4, pipeline.conf:73-81):
+    # construct_linkedrdf_from_json_v3 (extraction + exact-label linking
+    # against the seed in one task) → select_first_value (matchless
+    # allowed/namespace-filtered seed-priority merge) →
+    # type_inference_ontology_simple
+    def _json_b(s, d):
+        from kgpipe_spark.operators.extract import extract_json_triples
+        from kgpipe_spark.operators.fusion import select_first_value
+        from kgpipe_spark.operators.linking import label_dictionary
+        from kgpipe_spark.pipelines import link_entities
+
+        kg1 = _base_triples(s, d)
+        kg2 = (
+            extract_json_triples(_flagship_corpus(s, d))
+            .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
+            .distinct()
+            .localCheckpoint()
+        )
+        linked = link_entities(kg2, label_dictionary(kg1))
+        fused = select_first_value(kg1, linked, _ontology(s)).persist()
+        inferred = type_inference_simple(fused, _ontology(s))
+        dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+        types = (
+            fused.filter(F.col("predicate") == RDF_TYPE)
+            .unionByName(inferred)
+            .dropDuplicates(dedup_cols)
+        )
+        return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+
+    q["kg_pipeline_json_b"] = _json_b
+
+    # text_b fixture ontology: movie props with max_cardinality=1 (card-1 →
+    # fusable, preference.py:46); 'stars' is intentionally ABSENT so the
+    # 'stars' surface mints prop/stars — exercising the full (non
+    # mappings-only) construct path
+    def _onto_text_b(s):
+        return s.createDataFrame(
+            [
+                (P + "director", "directed by", ["director"], O + "Movie", O + "Person", "true", 1),
+                (P + "writer", "written by", ["writer"], O + "Movie", O + "Person", "true", 1),
+            ],
+            "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+        )
+
+    def _text_b_staging(s, d):
+        from kgpipe_spark.operators.extract import extract_text_surface_triples
+        from kgpipe_spark.operators.te_construct import (
+            aggregate_te_documents,
+            label_alias_embedding_el,
+            label_alias_embedding_rl,
+            surface_triples_to_te_documents,
+            te_documents_to_triples,
+        )
+
+        kg1 = _base_triples(s, d)
+        onto_b = _onto_text_b(s)
+        te = surface_triples_to_te_documents(
+            extract_text_surface_triples(_text_corpus(s, d))
+        )
+        # label_alias_embedding_el replaces the spotlight dictionary NER/NEL
+        # of text_a: cosine-matrix argmax per surface against the KG's
+        # geography labels, raw scores kept (thresholding happens inside
+        # te_documents_to_triples at entity_threshold)
+        geo = kg1.filter(
+            F.col("subject").startswith(NAT) | F.col("subject").startswith(REG)
+        )
+        # checkpoint between EL and RL: each linker references its input
+        # 2× (surface extraction + link append), so an un-cut chain squares
+        # the cosine subtree's evaluation count
+        te = label_alias_embedding_el(te, geo).localCheckpoint()
+        te = label_alias_embedding_rl(te, onto_b).localCheckpoint()
+        te = aggregate_te_documents(te)
+        return kg1, onto_b, te_documents_to_triples(
+            te, onto_b, mappings_only=False
+        ).localCheckpoint()
+
+    # construct_rdf_from_te_json (FULL mode, construct.py:300-330 without the
+    # mappings-only filter): unlinked predicate surfaces mint
+    # prop/<norm_underscored>, unlinked subjects mint newE URIs with label
+    # rows — registered on its own so the minting branches are hash-pinned
+    def _te_construct_full(s, d):
+        _, _, staging = _text_b_staging(s, d)
+        return staging
+
+    q["kg_te_construct_full"] = _te_construct_full
+
+    # the text_b pipeline composition (SURVEY §3.4, pipeline.conf:112-124):
+    # corenlp_openie_extraction → corenlp_exchange → label_alias_embedding_el
+    # → label_alias_embedding_rl → aggregate3_te_json →
+    # construct_rdf_from_te_json → select_first_value →
+    # type_inference_ontology_simple
+    def _text_b(s, d):
+        from kgpipe_spark.operators.fusion import select_first_value
+
+        kg1, onto_b, staging = _text_b_staging(s, d)
+        fused = select_first_value(kg1, staging, onto_b).persist()
+        inferred = type_inference_simple(fused, onto_b)
+        dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+        types = (
+            fused.filter(F.col("predicate") == RDF_TYPE)
+            .unionByName(inferred)
+            .dropDuplicates(dedup_cols)
+        )
+        return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+
+    q["kg_pipeline_text_b"] = _text_b
+
+    # evaluation report assembly (evaluator.py:57-104 / the CLI report
+    # command): statistical + semantic + reference aspects as ONE long-table
+    # (aspect, metric, value) plan. KG under eval = the base triples with the
+    # kg_domain_violations mistype perturbation; gold = the kg_fact_alignment
+    # expected set
+    def _eval_report(s, d):
+        from kgpipe_spark.eval.report import eval_report
+
+        base = _base_triples(s, d)
+        mutated = base.withColumn(
+            "object_lex",
+            F.when(
+                (F.col("predicate") == RDF_TYPE)
+                & F.col("subject").startswith(CUST)
+                & (F.regexp_extract("subject", r"(\d+)$", 1).cast("bigint") % 9 == 0),
+                F.lit(O + "Supplier"),
+            ).otherwise(F.col("object_lex")),
+        )
+        phantom = _read(s, d, "customer").filter(F.col("c_custkey") % 7 == 0).select(
+            F.concat(F.lit(CUST), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit(P + "phantom").alias("predicate"),
+            F.lit("missing").alias("object_lex"),
+            F.lit("literal").alias("object_kind"),
+            F.lit(XSD_STRING).alias("object_datatype"),
+        )
+        gold = base.filter(F.col("predicate") != SKOS_ALT_LABEL).unionByName(phantom)
+        return eval_report(mutated, gold, _ontology(s))
+
+    q["kg_eval_report"] = _eval_report
+
     def _fuse_union(s, d):
         from kgpipe_spark.operators.fusion import fuse_union
 
@@ -3544,7 +3743,19 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN {p}mmap m2 ON m2.entity = t.object_lex AND t.object_kind = 'uri'
         )"""
 
-    def _stage_tail(kg1: str, p: str, fusable: str) -> str:
+    _ONTO_CUSTOMER_ROWS = """
+          SELECT 'http://kg.org/prop/nation' AS uri, 'http://kg.org/onto/Customer' AS dom, 'http://kg.org/onto/Nation' AS rng
+          UNION ALL SELECT 'http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region'
+          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#decimal'
+          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#string'
+    """
+
+    _ONTO_MOVIE_ROWS = """
+          SELECT 'http://kg.org/prop/director' AS uri, 'http://kg.org/onto/Movie' AS dom, 'http://kg.org/onto/Person' AS rng
+          UNION ALL SELECT 'http://kg.org/prop/writer', 'http://kg.org/onto/Movie', 'http://kg.org/onto/Person'
+    """
+
+    def _stage_tail(kg1: str, p: str, fusable: str, onto_rows: str | None = None) -> str:
         return f"""
         {p}src_fusable AS (SELECT * FROM {p}canon2 WHERE predicate IN ({fusable})),
         {p}src_rest AS (SELECT * FROM {p}canon2 WHERE predicate NOT IN ({fusable})),
@@ -3574,10 +3785,7 @@ def oracle_sql() -> dict[str, str]:
           ) GROUP BY subject, predicate, object_lex, object_kind
         ),
         {p}onto AS (
-          SELECT 'http://kg.org/prop/nation' AS uri, 'http://kg.org/onto/Customer' AS dom, 'http://kg.org/onto/Nation' AS rng
-          UNION ALL SELECT 'http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region'
-          UNION ALL SELECT 'http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#decimal'
-          UNION ALL SELECT 'http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', 'http://www.w3.org/2001/XMLSchema#string'
+          {onto_rows if onto_rows is not None else _ONTO_CUSTOMER_ROWS}
         ),
         {p}joined AS (SELECT t.*, o.dom, o.rng FROM {p}fused t JOIN {p}onto o ON t.predicate = o.uri),
         {p}inferred AS (
@@ -3704,6 +3912,112 @@ def oracle_sql() -> dict[str, str]:
           )
         )"""
 
+    def _text_staging_full(kgname: str, p: str) -> str:
+        """text_b staging: closed-form OpenIE surfaces → embedding EL
+        (cosine argmax per surface vs {kgname}'s geography labels, hot-gram
+        brute backstop — label_alias_embedding_el) → embedding RL against
+        director/writer ONLY (the 'stars' surface stays unlinked and mints
+        prop/stars) → FULL te_documents_to_triples (construct.py without the
+        mappings-only filter): minted predicates/subjects, label rows,
+        domain/range types. Output CTE: {p}full."""
+        mint_subj = "'http://kg.org/newE/' || sha256(" + _NORM.format(c="s.subj") + ")"
+        mint_obj = "'http://kg.org/newE/' || sha256(" + _NORM.format(c="s.obj") + ")"
+        mint_pred = (
+            "'http://kg.org/prop/' || replace(" + _NORM.format(c="s.pred") + ", ' ', '_')"
+        )
+        return f"""
+        {p}txt AS (
+          SELECT c_custkey AS k, c_name, n_name, r_name
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        ),
+        {p}surf AS MATERIALIZED (
+          SELECT CAST(k AS VARCHAR) AS doc_id, 'Film ' || k AS subj, 'directed by' AS pred, c_name AS obj FROM {p}txt
+          UNION ALL SELECT CAST(k AS VARCHAR), 'Film ' || k, 'stars', n_name FROM {p}txt
+          UNION ALL SELECT CAST(k AS VARCHAR), 'Film ' || k, 'stars', r_name FROM {p}txt
+        ),
+        {p}psurf(id, text) AS (VALUES ('directed by', 'directed by'), ('stars', 'stars')),
+        {p}props(id, text) AS (VALUES
+          ('http://kg.org/prop/director', 'label: directed by; altLabels: director'),
+          ('http://kg.org/prop/writer', 'label: written by; altLabels: writer')),
+        {_sql_embed(p + 'm', p + 'psurf')},
+        {_sql_embed(p + 'p', p + 'props')},
+        {_sql_cosine_backstop(p + 'm', p + 'p', p + 'c', p + 'psurf')},
+        {p}relmap AS MATERIALIZED (
+          SELECT lid AS surface, rid AS prop FROM (
+            SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn FROM {p}c
+          ) WHERE rn = 1 AND cos >= 0.3
+        ),
+        {p}esurfu AS MATERIALIZED (
+          SELECT DISTINCT doc_id, surface FROM (
+            SELECT doc_id, subj AS surface FROM {p}surf
+            UNION SELECT doc_id, obj FROM {p}surf
+          )
+        ),
+        {p}esurf AS MATERIALIZED (
+          SELECT surface AS id, {_NORM.format(c='surface')} AS text
+          FROM (SELECT DISTINCT surface FROM {p}esurfu)
+        ),
+        {p}etgt AS MATERIALIZED (
+          SELECT min(subject) AS id, norm AS text FROM (
+            SELECT subject, {_NORM.format(c='object_lex')} AS norm FROM {kgname}
+            WHERE predicate = '{_RL}'
+              AND (subject LIKE 'http://kg.org/nation/%' OR subject LIKE 'http://kg.org/region/%')
+          ) GROUP BY norm
+        ),
+        {_sql_embed(p + 'e', p + 'esurf')},
+        {_sql_embed(p + 't', p + 'etgt')},
+        {_sql_cosine_backstop(p + 'e', p + 't', p + 'ec', p + 'esurf')},
+        {p}eltop AS MATERIALIZED (
+          SELECT lid AS span, rid AS mapping, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn FROM {p}ec
+          ) WHERE rn = 1
+        ),
+        {p}elmap AS MATERIALIZED (
+          SELECT DISTINCT u.doc_id, lower(u.surface) AS key, t.mapping
+          FROM {p}esurfu u JOIN {p}eltop t ON t.span = u.surface
+          WHERE t.cos >= 0.5
+        ),
+        {p}onto_t(uri, dom, rng, isobj) AS (VALUES
+          ('http://kg.org/prop/director', 'http://kg.org/onto/Movie', 'http://kg.org/onto/Person', 'true'),
+          ('http://kg.org/prop/writer', 'http://kg.org/onto/Movie', 'http://kg.org/onto/Person', 'true')),
+        {p}resolved AS MATERIALIZED (
+          SELECT s.doc_id,
+                 coalesce(els.mapping, {mint_subj}) AS subject,
+                 els.mapping IS NOT NULL AS subj_linked,
+                 coalesce(r.prop, {mint_pred}) AS predicate,
+                 o.dom, o.rng,
+                 (coalesce(o.isobj, '') = 'true') OR (elo.mapping IS NOT NULL) AS is_obj,
+                 s.subj AS subj_surface, s.obj AS obj_surface,
+                 elo.mapping AS obj_mapping,
+                 coalesce(elo.mapping, {mint_obj}) AS obj_uri
+          FROM {p}surf s
+          LEFT JOIN {p}relmap r ON r.surface = s.pred
+          LEFT JOIN {p}onto_t o ON r.prop = o.uri
+          LEFT JOIN {p}elmap els ON els.doc_id = s.doc_id AND els.key = lower(s.subj)
+          LEFT JOIN {p}elmap elo ON elo.doc_id = s.doc_id AND elo.key = lower(s.obj)
+        ),
+        {p}full AS MATERIALIZED (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+            SELECT subject, predicate,
+                   CASE WHEN is_obj THEN obj_uri ELSE obj_surface END AS object_lex,
+                   CASE WHEN is_obj THEN 'uri' ELSE 'literal' END AS object_kind,
+                   CASE WHEN is_obj THEN CAST(NULL AS VARCHAR)
+                        WHEN rng LIKE 'http://www.w3.org/2001/XMLSchema#%' THEN rng
+                        ELSE '{_XS}' END AS object_datatype
+            FROM {p}resolved WHERE obj_surface IS NOT NULL
+            UNION ALL SELECT subject, '{_RT}', dom, 'uri', NULL FROM {p}resolved WHERE dom IS NOT NULL
+            UNION ALL SELECT obj_uri, '{_RT}', rng, 'uri', NULL FROM {p}resolved
+              WHERE rng IS NOT NULL AND rng NOT LIKE 'http://www.w3.org/2001/XMLSchema#%'
+                AND obj_surface IS NOT NULL
+            UNION ALL SELECT subject, '{_RL}', subj_surface, 'literal', '{_XS}' FROM {p}resolved
+              WHERE NOT subj_linked
+            UNION ALL SELECT obj_uri, '{_RL}', obj_surface, 'literal', '{_XS}' FROM {p}resolved
+              WHERE is_obj AND obj_mapping IS NULL AND obj_surface IS NOT NULL
+          )
+        )"""
+
     # json_a composition (pipeline.conf:62-71): the bit-exact JSON
     # extraction chain feeds the paris chain as the source KG, then exchange
     # -> canonicalize -> first-value fusion -> type inference
@@ -3747,6 +4061,182 @@ def oracle_sql() -> dict[str, str]:
         {_paris_canon('s2stage', 'ysoft', 's3')},
         {_stage_tail('s2stage', 's3', f"'{_RL}'")}
         SELECT * FROM s3stage
+    """
+
+    # MSP order permutation (test_inc_msp.py:17-33 / config.py:60-64): the
+    # SAME three sources in text → rdf → json order; the text stage's NER/NEL
+    # dictionary is the seed itself here (first stage), and rdf/json fold
+    # into the text stage's accumulated result
+    sql["kg_incremental_msp_perm2"] = f"""
+        WITH {SQL_TRIPLES}, {SQL_SOFT_ACTUAL},
+        {_text_staging('triples', 'z')},
+        {_tokens_scored('triples', 'zsoft', 'p1')},
+        {_paris_canon('triples', 'zsoft', 'p1')},
+        {_stage_tail('triples', 'p1', f"'{_RL}'")},
+        {_tokens_scored('p1stage', 'soft_actual', 'p2')},
+        {_paris_canon('p1stage', 'soft_actual', 'p2')},
+        {_stage_tail('p1stage', 'p2', f"'{_RL}', 'http://kg.org/prop/mktsegment'")},
+        {_JSON_SRC},
+        {_tokens_scored('p2stage', 'jsrc', 'p3')},
+        {_paris_canon('p2stage', 'jsrc', 'p3')},
+        {_stage_tail('p2stage', 'p3', f"'{_RL}', 'http://kg.org/prop/segment'")}
+        SELECT * FROM p3stage
+    """
+
+    _ALLOWED_CUSTOMER = (
+        f"'{_RL}', '{_RT}', '{_SA}', 'http://kg.org/prop/nation', "
+        "'http://kg.org/prop/region', 'http://kg.org/prop/acctbal', "
+        "'http://kg.org/prop/mktsegment'"
+    )
+    _FUSABLE_CUSTOMER = (
+        f"'{_RL}', '{_RT}', 'http://kg.org/prop/nation', "
+        "'http://kg.org/prop/region', 'http://kg.org/prop/acctbal', "
+        "'http://kg.org/prop/mktsegment'"
+    )
+
+    # json_b composition (pipeline.conf:73-81): construct_linkedrdf (the
+    # JSON extraction chain + exact-label link_map rewrite against the seed
+    # dictionary) → select_first_value (allowed-predicate + type-namespace
+    # filters, then matchless seed-priority first-value fusion with fusable
+    # = card-1 props ∪ {{label, type}}) → type inference
+    sql["kg_pipeline_json_b"] = f"""
+        WITH {SQL_TRIPLES},
+        {_JSON_SRC},
+        jbdict AS MATERIALIZED (
+          SELECT {_NORM.format(c='object_lex')} AS norm_label, min(subject) AS mapping
+          FROM triples WHERE predicate IN ('{_RL}', '{_SA}')
+          GROUP BY 1
+        ),
+        jblinkmap AS MATERIALIZED (
+          SELECT subject AS entity, min(mapping) AS canonical FROM (
+            SELECT t.subject, d.mapping
+            FROM jsrc t JOIN jbdict d ON {_NORM.format(c='t.object_lex')} = d.norm_label
+            WHERE t.predicate = '{_RL}'
+          ) WHERE mapping <> subject GROUP BY subject
+        ),
+        jbrewritten AS MATERIALIZED (
+          SELECT coalesce(m1.canonical, t.subject) AS subject, t.predicate,
+                 CASE WHEN t.object_kind = 'uri' THEN coalesce(m2.canonical, t.object_lex)
+                      ELSE t.object_lex END AS object_lex,
+                 t.object_kind, t.object_datatype
+          FROM jsrc t
+          LEFT JOIN jblinkmap m1 ON m1.entity = t.subject
+          LEFT JOIN jblinkmap m2 ON m2.entity = t.object_lex AND t.object_kind = 'uri'
+        ),
+        jbcanon2 AS MATERIALIZED (
+          SELECT * FROM jbrewritten
+          WHERE predicate IN ({_ALLOWED_CUSTOMER})
+            AND NOT (predicate = '{_RT}' AND object_lex NOT LIKE 'http://kg.org/onto/%')
+        ),
+        {_stage_tail('triples', 'jb', _FUSABLE_CUSTOMER)}
+        SELECT * FROM jbstage
+    """
+
+    # text_b staging (pipeline.conf:112-124 through construct_rdf_from_te_json):
+    # OpenIE surfaces → embedding EL (cosine argmax vs the seed's geography
+    # labels, hot-gram backstop) → embedding RL (director/writer only — the
+    # 'stars' surface mints prop/stars) → FULL TE construct with minted
+    # subjects/predicates, labels and domain/range types
+    sql["kg_te_construct_full"] = f"""
+        WITH {SQL_TRIPLES},
+        {_text_staging_full('triples', 'tf')}
+        SELECT * FROM tffull
+    """
+
+    # text_b composition: the full staging above → select_first_value with
+    # the movie ontology (allowed = director/writer + label/type/altLabel —
+    # the minted prop/stars rows drop here) → type inference over the movie
+    # ontology
+    sql["kg_pipeline_text_b"] = f"""
+        WITH {SQL_TRIPLES},
+        {_text_staging_full('triples', 'tb')},
+        tbcanon2 AS MATERIALIZED (
+          SELECT * FROM tbfull
+          WHERE predicate IN ('{_RL}', '{_RT}', '{_SA}',
+                              'http://kg.org/prop/director', 'http://kg.org/prop/writer')
+            AND NOT (predicate = '{_RT}' AND object_lex NOT LIKE 'http://kg.org/onto/%')
+        ),
+        {_stage_tail('triples', 'tb', f"'{_RL}', '{_RT}', 'http://kg.org/prop/director', 'http://kg.org/prop/writer'", _ONTO_MOVIE_ROWS)}
+        SELECT * FROM tbstage
+    """
+
+    # evaluation report: statistical counts + semantic violation counts +
+    # reference P/R/F1 as one long table over the mistyped base KG
+    sql["kg_eval_report"] = f"""
+        WITH {SQL_TRIPLES},
+        mutated AS MATERIALIZED (
+          SELECT subject, predicate,
+                 CASE WHEN predicate = '{_RT}' AND subject LIKE 'http://kg.org/cust/%'
+                           AND CAST(regexp_extract(subject, '(\\d+)$', 1) AS BIGINT) % 9 = 0
+                      THEN 'http://kg.org/onto/Supplier' ELSE object_lex END AS object_lex,
+                 object_kind, object_datatype
+          FROM triples
+        ),
+        onto(uri, dmn, rng, is_obj, maxc) AS (VALUES
+          ('http://kg.org/prop/nation', 'http://kg.org/onto/Customer', 'http://kg.org/onto/Nation', 'true', 1),
+          ('http://kg.org/prop/region', 'http://kg.org/onto/Nation', 'http://kg.org/onto/Region', 'true', 1),
+          ('http://kg.org/prop/acctbal', 'http://kg.org/onto/Customer', '{_XD}', 'false', 1),
+          ('http://kg.org/prop/mktsegment', 'http://kg.org/onto/Customer', '{_XS}', 'false', 1)),
+        typed AS (SELECT subject, object_lex AS cls FROM mutated WHERE predicate = '{_RT}'),
+        actual AS (SELECT DISTINCT subject, predicate, object_lex, object_kind FROM mutated),
+        expected AS (
+          SELECT DISTINCT subject, predicate, object_lex, object_kind FROM (
+            SELECT subject, predicate, object_lex, object_kind FROM triples WHERE predicate <> '{_SA}'
+            UNION ALL
+            SELECT 'http://kg.org/cust/' || c_custkey, 'http://kg.org/prop/phantom', 'missing', 'literal'
+            FROM customer WHERE c_custkey % 7 = 0
+          )
+        ),
+        cnt AS (
+          SELECT
+            CAST((SELECT count(*) FROM actual a SEMI JOIN expected e USING (subject, predicate, object_lex, object_kind)) AS DOUBLE) AS tp,
+            CAST((SELECT count(*) FROM actual a ANTI JOIN expected e USING (subject, predicate, object_lex, object_kind)) AS DOUBLE) AS fp,
+            CAST((SELECT count(*) FROM expected e ANTI JOIN actual a USING (subject, predicate, object_lex, object_kind)) AS DOUBLE) AS fn
+        ),
+        prf AS (
+          SELECT tp, fp, fn,
+                 CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p,
+                 CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS r
+          FROM cnt
+        )
+        SELECT 'statistical' AS aspect, 'n_triples' AS metric, CAST(count(*) AS DOUBLE) AS value FROM mutated
+        UNION ALL SELECT 'statistical', 'n_entities', CAST(count(*) AS DOUBLE) FROM (
+          SELECT DISTINCT e FROM (
+            SELECT subject AS e FROM mutated
+            UNION ALL SELECT object_lex FROM mutated WHERE object_kind = 'uri'))
+        UNION ALL SELECT 'statistical', 'n_relations', CAST(count(DISTINCT predicate) AS DOUBLE) FROM mutated
+        UNION ALL SELECT 'statistical', 'n_subjects', CAST(count(DISTINCT subject) AS DOUBLE) FROM mutated
+        UNION ALL SELECT 'statistical', 'n_classes', CAST(count(DISTINCT object_lex) AS DOUBLE)
+          FROM mutated WHERE predicate = '{_RT}'
+        UNION ALL SELECT 'semantic', 'cardinality_violations', CAST(count(*) AS DOUBLE) FROM (
+          SELECT t.subject FROM mutated t JOIN onto o ON t.predicate = o.uri
+          GROUP BY t.subject, t.predicate, o.maxc HAVING count(*) > o.maxc)
+        UNION ALL SELECT 'semantic', 'domain_violations', CAST(count(*) AS DOUBLE) FROM (
+          SELECT DISTINCT t.subject, t.predicate, ty.cls, o.dmn
+          FROM mutated t JOIN onto o ON t.predicate = o.uri
+          JOIN typed ty ON ty.subject = t.subject
+          WHERE o.dmn IS NOT NULL AND ty.cls <> o.dmn)
+        UNION ALL SELECT 'semantic', 'range_violations', CAST(count(*) AS DOUBLE) FROM (
+          SELECT DISTINCT t.subject, t.predicate, t.object_lex, ty.cls, o.rng
+          FROM mutated t JOIN onto o ON t.predicate = o.uri
+          JOIN typed ty ON ty.subject = t.object_lex
+          WHERE t.object_kind = 'uri' AND o.rng IS NOT NULL
+            AND o.rng NOT LIKE 'http://www.w3.org/2001/XMLSchema#%' AND ty.cls <> o.rng)
+        UNION ALL SELECT 'semantic', 'datatype_violations', CAST(count(*) AS DOUBLE) FROM (
+          SELECT t.subject FROM mutated t JOIN onto o ON t.predicate = o.uri
+          WHERE t.object_kind = 'literal' AND o.rng LIKE 'http://www.w3.org/2001/XMLSchema#%'
+            AND coalesce(t.object_datatype, '') <> o.rng)
+        UNION ALL SELECT 'semantic', 'object_prop_violations', CAST(count(*) AS DOUBLE) FROM (
+          SELECT t.subject FROM mutated t JOIN onto o ON t.predicate = o.uri
+          WHERE (o.is_obj = 'true' AND t.object_kind = 'literal')
+             OR (o.is_obj = 'false' AND t.object_kind = 'uri'))
+        UNION ALL SELECT 'reference', 'tp', tp FROM prf
+        UNION ALL SELECT 'reference', 'fp', fp FROM prf
+        UNION ALL SELECT 'reference', 'fn', fn FROM prf
+        UNION ALL SELECT 'reference', 'precision', round(p, 6) FROM prf
+        UNION ALL SELECT 'reference', 'recall', round(r, 6) FROM prf
+        UNION ALL SELECT 'reference', 'f1',
+          CASE WHEN p + r > 0 THEN round(2.0 * p * r / (p + r), 6) ELSE 0.0 END FROM prf
     """
 
     sql["kg_json_extract"] = f"""
@@ -4371,6 +4861,41 @@ def _sql_cosine_all(a: str, e: str, out: str, max_block: int = 1000) -> str:
   JOIN {a}_norm ln ON ln.id = c.lid
   JOIN {e}_norm rn ON rn.id = c.rid
   GROUP BY c.lid, c.rid
+)"""
+
+
+def _sql_cosine_backstop(a: str, e: str, out: str, asrc: str, max_block: int = 1000) -> str:
+    """CTE chain: {out}(lid, rid, cos) — the pair set of
+    ``te_construct._blocked_top1``: share-any-(non-hot)-gram blocked pairs,
+    with any LEFT mention touching a hot gram (or with zero blocked
+    candidates) re-scored against the FULL right side by the identical exact
+    cosine. ``asrc`` = the left (id, text) source CTE (the mention universe
+    for the zero-candidate check)."""
+    return f"""
+{_sql_cosine_all(a, e, out + 'b', max_block)},
+{out}_hot AS MATERIALIZED (
+  SELECT g FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) la
+  FULL OUTER JOIN (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) ra USING (g)
+  WHERE coalesce(la.c, 0) > {max_block} OR coalesce(ra.c, 0) > {max_block}
+),
+{out}_brute AS MATERIALIZED (
+  SELECT DISTINCT id FROM {a}_gd SEMI JOIN {out}_hot USING (g)
+  UNION
+  SELECT id FROM {asrc} ANTI JOIN (SELECT DISTINCT lid AS id FROM {out}b) USING (id)
+),
+{out}_bsc AS MATERIALIZED (
+  SELECT lb.id AS lid, rb.id AS rid,
+         sum(lb.v * rb.v) / (sqrt(min(ln.ssq)) * sqrt(min(rn.ssq))) AS cos
+  FROM (SELECT b2.* FROM {a}_bins b2 SEMI JOIN {out}_brute USING (id)) lb
+  JOIN {e}_bins rb ON rb.bin = lb.bin
+  JOIN {a}_norm ln ON ln.id = lb.id
+  JOIN {e}_norm rn ON rn.id = rb.id
+  GROUP BY lb.id, rb.id
+),
+{out} AS MATERIALIZED (
+  SELECT k.lid, k.rid, k.cos FROM {out}b k ANTI JOIN {out}_brute br ON k.lid = br.id
+  UNION ALL
+  SELECT lid, rid, cos FROM {out}_bsc
 )"""
 
 

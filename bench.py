@@ -71,23 +71,38 @@ def main() -> None:
     # of that query's unique operator shapes and this VM's hypervisor-steal
     # spikes (load-avg bursts of 5-12 with zero local processes were
     # measured mid-bench), which otherwise add 2-3x noise to a single shot
+    # host-steal robustness (round-3 postmortem: the driver's recorded bench
+    # landed in a loadavg-5+ window and read 2x slow with zero code change):
+    # every trial is stamped, and a query whose two steady-state candidates
+    # disagree by >1.5x gets up to 2 extra trials so one stolen window can't
+    # set its recorded time
+    loadavg_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     first_trial: dict[str, float] = {}
+    dispersion: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in bench_set:
         fn = queries.get(name)
         if fn is None:
             continue
-        best, n = None, 0
-        for trial in range(2):
+        trials: list[float] = []
+        n = 0
+        while True:
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            if trial == 0:
-                first_trial[name] = round(dt, 3)
-            best = dt if best is None else min(best, dt)
+            trials.append(time.time() - t0)
+            if len(trials) == 1:
+                first_trial[name] = round(trials[0], 3)
+                continue
+            # accept once the latest trial corroborates the best-so-far
+            # (within 1.5x of min): a trial that reads far slower than an
+            # earlier one is a stolen window, not the query
+            if trials[-1] <= 1.5 * min(trials) or len(trials) >= 4:
+                break
+        best = min(trials)
         timings[name] = round(best, 3)
+        dispersion[name] = round(max(trials) / max(min(trials), 1e-9), 2)
         if name == "kg_flagship_pipeline":
             extra["flagship_triples"] = n
             extra["flagship_triples_per_sec"] = round(n / best, 1)
@@ -105,6 +120,8 @@ def main() -> None:
         "queries": timings,
         "total_trial1": round(sum(first_trial.values()), 3),
         "queries_trial1": first_trial,
+        "trial_dispersion": dispersion,
+        "loadavg": [round(loadavg_start, 2), round(os.getloadavg()[0], 2)],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         **extra,

@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kgpipe_spark.functions.hashing import stable_order_key
-from kgpipe_spark.schemas import OWL_SAME_AS, RDF_TYPE, RDFS_LABEL, TRIPLE_COLS
+from kgpipe_spark.schemas import (
+    KG_NS,
+    OWL_SAME_AS,
+    RDF_TYPE,
+    RDFS_LABEL,
+    SKOS_ALT_LABEL,
+    TRIPLE_COLS,
+)
 
 
 def allowed_predicate_filter(triples: DataFrame, allowed: DataFrame) -> DataFrame:
@@ -108,6 +115,36 @@ def fusable_predicates(ontology: DataFrame) -> DataFrame:
         [(RDFS_LABEL,), (RDF_TYPE,)], ["predicate"]
     )
     return card1.unionByName(extra).distinct()
+
+
+def allowed_predicates(ontology: DataFrame) -> DataFrame:
+    """Ontology property URIs plus rdfs:label / rdf:type / skos:altLabel —
+    the predicate allowlist select/fusion_first_value build up front
+    (`preference.py:46,127`)."""
+    props = ontology.select(F.col("uri").alias("predicate"))
+    extra = props.sparkSession.createDataFrame(
+        [(RDFS_LABEL,), (RDF_TYPE,), (SKOS_ALT_LABEL,)], ["predicate"]
+    )
+    return props.unionByName(extra).distinct()
+
+
+def select_first_value(
+    seed: DataFrame,
+    source: DataFrame,
+    ontology: DataFrame,
+    namespace: str = KG_NS + "onto/",
+) -> DataFrame:
+    """Matchless merge of ``source`` into ``seed`` (`preference.py:34-101`):
+    unlike ``fusion_first_value`` no id rewrite precedes — the source is
+    filtered to allowed predicates, rdf:type objects outside the target
+    ontology namespace are dropped, then fusable props (max_cardinality==1
+    ∪ {label, type}) take the seed's value when present else ONE source
+    value, and non-fusable props union with a presence guard.
+    """
+    src = type_namespace_filter(
+        allowed_predicate_filter(source, allowed_predicates(ontology)), namespace
+    )
+    return fuse_first_value(seed, src, fusable_predicates(ontology))
 
 
 def fuse_first_value(

@@ -546,6 +546,164 @@ def link_te_entities_dictionary(
     )
 
 
+def _blocked_top1(mentions: DataFrame, targets: DataFrame) -> DataFrame:
+    """Exact-cosine top-1 of each mention (id, text) against a small target
+    side (id, text): blocked candidate generation + hot-gram brute backstop.
+
+    prefix_filter=False: a TOP-1 link has no similarity cut, so candidate
+    generation must be recall-complete over shared grams; the target side is
+    ontology/dictionary-sized so any-gram blocking stays tiny.
+
+    Recall backstop: blocking drops grams hotter than max_block, so a
+    mention whose true argmax pair shares ONLY hot grams can surface a
+    weaker candidate as top-1 — not just the fully-uncovered case. Any
+    mention touching at least one hot gram (plus the zero-candidate
+    leftovers: all-hot or under-length surfaces) is re-scored against the
+    full (small) target side with the identical exact cosine, so the union
+    preserves bit-exact scores and argmax completeness.
+
+    Small-target fast path: when the target side is at most ``max_block``
+    rows (counted — it is dictionary/ontology-sized by contract here), the
+    blocked+backstop chain degenerates into "brute-force everything", so we
+    go straight to ``cosine_all_pairs`` (one broadcast gram join). The pair
+    set and scores are identical — all-pairs is trivially argmax-complete
+    and uses the same exact integer dot — but the plan is ~5 stages instead
+    of ~40, which matters when this runs inside composed pipelines.
+
+    Returns (span, mapping, score) — the best target per mention.
+    """
+    from pyspark.sql.window import Window
+
+    from kgpipe_spark.eval.soft import (
+        DEFAULT_MAX_BLOCK,
+        _grams_distinct,
+        cosine_all_pairs,
+        cosine_pairs,
+    )
+
+    def _top1(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("lid").alias("span"),
+                F.col("rid").alias("mapping"),
+                F.col("cos").alias("score"),
+            )
+        )
+
+    targets = targets.persist()
+    try:
+        n_targets = targets.count()
+    except Exception:
+        n_targets = None
+    if n_targets is not None and n_targets <= DEFAULT_MAX_BLOCK:
+        return _top1(cosine_all_pairs(mentions, targets))
+
+    pairs = cosine_pairs(mentions, targets, prefix_filter=False)
+    lg = _grams_distinct(mentions, "id", "text")
+    rg = _grams_distinct(targets, "id", "text")
+    hot = (
+        lg.groupBy("g").agg(F.count(F.lit(1)).alias("nl"))
+        .join(rg.groupBy("g").agg(F.count(F.lit(1)).alias("nr")), "g", "outer")
+        .filter(
+            (F.coalesce("nl", F.lit(0)) > DEFAULT_MAX_BLOCK)
+            | (F.coalesce("nr", F.lit(0)) > DEFAULT_MAX_BLOCK)
+        )
+        .select("g")
+    )
+    touched = lg.join(hot, "g", "left_semi").select("id").distinct()
+    uncovered = mentions.join(
+        pairs.select(F.col("lid").alias("id")).distinct(), "id", "left_anti"
+    )
+    to_brute = mentions.join(touched, "id", "left_semi").unionByName(uncovered).dropDuplicates(
+        ["id"]
+    )
+    pairs = pairs.join(
+        to_brute.select(F.col("id").alias("lid")), "lid", "left_anti"
+    ).unionByName(cosine_all_pairs(to_brute, targets))
+    return _top1(pairs)
+
+
+def _append_links(te_docs: DataFrame, doc_links: DataFrame) -> DataFrame:
+    """Concat per-doc new links (doc_id, _new_links) onto te_docs.links."""
+    return (
+        te_docs.join(doc_links, "doc_id", "left")
+        .withColumn(
+            "links",
+            F.concat(
+                F.coalesce(F.col("links"), F.array()),
+                F.coalesce(
+                    F.col("_new_links"),
+                    F.array().cast(
+                        "array<struct<span:string,mapping:string,link_type:string,score:double>>"
+                    ),
+                ),
+            ),
+        )
+        .drop("_new_links")
+    )
+
+
+def label_alias_embedding_el(te_docs: DataFrame, kg: DataFrame) -> DataFrame:
+    """Link every distinct subject/object surface to its best KG entity by
+    embedding cosine over rdfs:label texts and append the matches as
+    ``link_type='entity'`` TE_Pairs carrying the raw cosine score.
+
+    Mirrors ``AliasAndLabelBasedEntityLinker`` / ``label_alias_embedding_el``
+    (`/root/reference/src/kgpipe_tasks/text_processing/entity_linking/entity_linker.py:25-103`):
+    the reference embeds ALL target-KG label strings, takes the full
+    cosine-matrix argmax per extracted surface, and links every surface —
+    thresholding happens downstream at TE finalization
+    (``te_documents_to_triples`` entity_threshold). Here the matrix argmax
+    is the blocked exact cosine with the hot-gram brute backstop
+    (``_blocked_top1``) — JVM-side, no driver collect.
+    """
+    from kgpipe_spark.operators.linking import label_dictionary
+
+    surfaces = (
+        te_docs.select("doc_id", F.explode("triples").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("t.subject.surface_form"), F.col("t.object.surface_form"))
+            ).alias("span"),
+        )
+        .filter(F.col("span").isNotNull())
+        .distinct()
+    )
+    targets = (
+        label_dictionary(kg, include_alt=False)
+        .groupBy(F.col("norm_label").alias("text"))
+        .agg(F.min("uri").alias("id"))
+        .select("id", "text")
+    )
+    mentions = surfaces.select(F.col("span").alias("id")).distinct().withColumn(
+        "text", normalize_label(F.col("id"))
+    )
+    best = _blocked_top1(mentions, targets)
+    doc_links = (
+        surfaces.join(F.broadcast(best), "span")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span"),
+                    F.col("mapping"),
+                    F.lit("entity").alias("link_type"),
+                    F.col("score"),
+                )
+            ).alias("_new_links")
+        )
+    )
+    return _append_links(te_docs, doc_links)
+
+
 def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFrame:
     """Link each distinct predicate surface to its best ontology property and
     append the matches as ``link_type='predicate'`` TE_Pairs.
@@ -559,10 +717,6 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
     Embeddings are the engine-symmetric hashed-gram cosine
     (``eval.soft.cosine_pairs``) — JVM-side, blocked, no driver collect.
     """
-    from pyspark.sql.window import Window
-
-    from kgpipe_spark.eval.soft import cosine_pairs
-
     surfaces = (
         te_docs.select("doc_id", F.explode("triples").alias("t"))
         .select("doc_id", F.col("t.predicate.surface_form").alias("span"))
@@ -582,52 +736,7 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
     mentions = surfaces.select(F.col("span").alias("id")).distinct().withColumn(
         "text", normalize_label(F.col("id"))
     )
-    # prefix_filter=False: this is a TOP-1 link with no similarity cut —
-    # candidate generation must be recall-complete over shared grams, and
-    # the props side is ontology-sized so any-gram blocking stays tiny
-    pairs = cosine_pairs(mentions, props, prefix_filter=False)
-    # Recall backstop: blocking drops grams hotter than max_block, so a
-    # mention whose true argmax pair shares ONLY hot grams can surface a
-    # weaker candidate as top-1 — not just the fully-uncovered case. Any
-    # mention touching at least one hot gram (plus the zero-candidate
-    # leftovers: all-hot or under-length surfaces) is re-scored against the
-    # full (ontology-small) props side with the identical exact cosine, so
-    # the union preserves bit-exact scores and argmax completeness.
-    from kgpipe_spark.eval.soft import (
-        DEFAULT_MAX_BLOCK,
-        _grams_distinct,
-        cosine_all_pairs,
-    )
-
-    lg = _grams_distinct(mentions, "id", "text")
-    rg = _grams_distinct(props, "id", "text")
-    hot = (
-        lg.groupBy("g").agg(F.count(F.lit(1)).alias("nl"))
-        .join(rg.groupBy("g").agg(F.count(F.lit(1)).alias("nr")), "g", "outer")
-        .filter(
-            (F.coalesce("nl", F.lit(0)) > DEFAULT_MAX_BLOCK)
-            | (F.coalesce("nr", F.lit(0)) > DEFAULT_MAX_BLOCK)
-        )
-        .select("g")
-    )
-    touched = lg.join(hot, "g", "left_semi").select("id").distinct()
-    uncovered = mentions.join(
-        pairs.select(F.col("lid").alias("id")).distinct(), "id", "left_anti"
-    )
-    to_brute = mentions.join(touched, "id", "left_semi").unionByName(uncovered).dropDuplicates(
-        ["id"]
-    )
-    pairs = pairs.join(
-        to_brute.select(F.col("id").alias("lid")), "lid", "left_anti"
-    ).unionByName(cosine_all_pairs(to_brute, props))
-    best = (
-        pairs.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))),
-        )
-        .filter(F.col("rn") == 1)
-        .select(F.col("lid").alias("span"), F.col("rid").alias("mapping"), F.col("cos").alias("score"))
-    )
+    best = _blocked_top1(mentions, props)
     doc_links = (
         surfaces.join(F.broadcast(best), "span")
         .groupBy("doc_id")
@@ -642,19 +751,4 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
             ).alias("_new_links")
         )
     )
-    return (
-        te_docs.join(doc_links, "doc_id", "left")
-        .withColumn(
-            "links",
-            F.concat(
-                F.coalesce(F.col("links"), F.array()),
-                F.coalesce(
-                    F.col("_new_links"),
-                    F.array().cast(
-                        "array<struct<span:string,mapping:string,link_type:string,score:double>>"
-                    ),
-                ),
-            ),
-        )
-        .drop("_new_links")
-    )
+    return _append_links(te_docs, doc_links)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -96,9 +97,11 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    times: list[tuple[float, str]] = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t_q = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -127,8 +130,9 @@ def main():
             continue
         sn, sc, sh = frame_hash(scols, srows)
         dn, dc, dh = frame_hash(dcols, drows)
+        times.append((time.time() - t_q, name))
         if (sn, sc, sh) == (dn, dc, dh):
-            print(f"OK   {name}: {sn} rows")
+            print(f"OK   {name}: {sn} rows  ({times[-1][0]:.1f}s)")
         else:
             failures.append(name)
             print(f"FAIL {name}: rows {sn} vs {dn}; cols [{sc}] vs [{dc}]; hash {'=' if sh==dh else '≠'}")
@@ -139,6 +143,10 @@ def main():
                 for a, b in diff:
                     print(f"   spark : {a[:200]}")
                     print(f"   duckdb: {b[:200]}")
+    if len(times) > 5:
+        top = sorted(times, reverse=True)[:8]
+        print("\nslowest: " + ", ".join(f"{n}={t:.1f}s" for t, n in top))
+        print(f"gate total {sum(t for t, _ in times):.1f}s over {len(times)} queries")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
