@@ -2647,6 +2647,17 @@ def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # outside the round-2 window — the 9 rel_* (4 were red in round 1), doc_*,
 # emb_*, and the soft/coverage queries.
 _RECORD_FIRST = [
+    # round-4 registrations — recorded first so every query new to this
+    # round gets a driver verdict
+    "kg_eval_report",
+    "kg_pipeline_json_b",
+    "kg_pipeline_text_b",
+    "kg_te_construct_full",
+    "kg_incremental_msp_perm2",
+    # top-1 embedding linkers rebuilt on _blocked_top1 this round — keep the
+    # directly-affected queries inside the recorded window
+    "kg_relation_link_top1",
+    "kg_pipeline_text_a",
     # round-4 new / behavior-changed (kg_link_two_pass got its oracle this
     # round; the other three were registered in round 3 but missing from this
     # list, so their oracles were never driver-recorded — ADVICE r3)
@@ -2825,7 +2836,8 @@ def oracle_sql() -> dict[str, str]:
         used1 AS (SELECT id_1 AS node FROM r1 UNION SELECT id_2 FROM r1),
         rem AS (
           SELECT e.* FROM ent e
-          WHERE e.id_1 NOT IN (SELECT node FROM used1) AND e.id_2 NOT IN (SELECT node FROM used1)
+          ANTI JOIN used1 u1 ON e.id_1 = u1.node
+          ANTI JOIN used1 u2 ON e.id_2 = u2.node
         ),
         {_round_sql('rem', 'r2')}
         SELECT id_1, id_2, score, id_type FROM r1
@@ -3571,13 +3583,15 @@ def oracle_sql() -> dict[str, str]:
         used1 AS (SELECT id_1 AS node FROM b1 UNION SELECT id_2 FROM b1),
         rem1 AS (
           SELECT e.* FROM ent e
-          WHERE e.id_1 NOT IN (SELECT node FROM used1) AND e.id_2 NOT IN (SELECT node FROM used1)
+          ANTI JOIN used1 u1 ON e.id_1 = u1.node
+          ANTI JOIN used1 u2 ON e.id_2 = u2.node
         ),
         {_round_sql('rem1', 'b2')},
         used2 AS (SELECT node FROM used1 UNION SELECT id_1 FROM b2 UNION SELECT id_2 FROM b2),
         rem2 AS (
           SELECT e.* FROM ent e
-          WHERE e.id_1 NOT IN (SELECT node FROM used2) AND e.id_2 NOT IN (SELECT node FROM used2)
+          ANTI JOIN used2 u1 ON e.id_1 = u1.node
+          ANTI JOIN used2 u2 ON e.id_2 = u2.node
         ),
         {_round_sql('rem2', 'b3')},
         best AS (

@@ -310,9 +310,11 @@ def fact_alignment_soft_entities(
 ) -> DataFrame:
     """SoftE (`soft_metrics.py:87-101`): map actual subjects AND uri objects
     through the soft mapping, then exact alignment."""
+    # the mapping cosine chain feeds both the subject and the object rewrite
+    # joins — materialize it once
     mapping = soft_entity_mapping(actual, expected, threshold, max_block).select(
         "actual_uri", "expected_uri"
-    )
+    ).persist()
     ms = mapping.withColumnRenamed("actual_uri", "subject").withColumnRenamed(
         "expected_uri", "subject_m"
     )
@@ -389,8 +391,11 @@ def fact_alignment_soft_values(
     mapping = soft_entity_mapping(actual, expected, threshold, max_block).select(
         "actual_uri", "expected_uri"
     )
-    ga = _label_expanded(actual, mapping)
-    ge = _label_expanded(expected, None)
+    # the soft-mapping cosine chain folded into `ga` is referenced by the
+    # pair join, the scored join AND the fn anti-join — persist both
+    # expanded sides once instead of re-deriving the chain per consumer
+    ga = _label_expanded(actual, mapping).persist()
+    ge = _label_expanded(expected, None).persist()
 
     # embed each distinct value string once (relational CSE of encode_wrapper)
     vals = (
@@ -399,14 +404,14 @@ def fact_alignment_soft_values(
         .distinct()
         .withColumn("id", F.col("text"))
     )
-    vec = gram_bins(vals, "id", "text")
+    vec = gram_bins(vals, "id", "text").persist()
     norms = _with_norms(vec)
 
     pairs = (
         ga.join(
             ge.select("subject", "predicate", F.col("value").alias("evalue")),
             ["subject", "predicate"],
-        )
+        ).persist()
     )
     dots = (
         pairs.join(vec.withColumnRenamed("id", "value"), "value")

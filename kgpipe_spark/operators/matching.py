@@ -103,7 +103,9 @@ def blocked_entity_matching(
     global neighbor self-join — a hot neighbor (every entity typed
     onto/Customer) makes the global join quadratic (measured 169M rows at
     sf0.1); the candidate-restricted form is |candidates| × avg-degree."""
-    base = token_blocking_matches(kg1, kg2, threshold=0.0)
+    # base candidates feed both the shared-neighbor count and the boost
+    # join — materialize the token-blocking chain once
+    base = token_blocking_matches(kg1, kg2, threshold=0.0).persist()
 
     n1 = kg1.filter(F.col("object_kind") == "uri").select(
         F.col("subject").alias("id_1"), F.col("object_lex").alias("nbr")
