@@ -24,7 +24,11 @@ from kgpipe_spark.schemas import (
     RDF_TYPE,
     RDFS_LABEL,
     SKOS_ALT_LABEL,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
     XSD_DECIMAL,
+    XSD_INTEGER,
     XSD_STRING,
 )
 
@@ -631,6 +635,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_csv_roundtrip"] = _csv_roundtrip
 
+    def _paris_exchange(s, d):
+        """paris_exchange reader under the driver gate (read_paris_dir,
+        readers.py:44-95 mirroring paris_rdf_matcher.py:102-157): three
+        iterations are written — 0 (stale scores), 1 (final scores), 2
+        (EMPTY, as PARIS emits on convergence) — and the reader must pick
+        the last NON-EMPTY one, parse eqv + superrelations TSVs, and expand
+        dbr:/dbo:/rdfs: prefixes while passing unknown-prefix ids through."""
+        import os as _os
+
+        from kgpipe_spark.sources.readers import read_paris_dir
+
+        out = _os.path.join(
+            _os.environ.get("TMPDIR", "/tmp"),
+            f"kg_paris_dir_{s.sparkContext.applicationId}_{_os.path.basename(d.rstrip('/'))}",
+        )
+        _os.makedirs(out, exist_ok=True)
+        nations = sorted(
+            _read(s, d, "nation").select("n_nationkey").collect(),
+            key=lambda r: r["n_nationkey"],
+        )
+        with open(_os.path.join(out, "0_eqv.tsv"), "w") as f:
+            for r in nations:
+                f.write(f"dbr:N{r['n_nationkey']}\tnation:{r['n_nationkey']}\t0.5\n")
+        with open(_os.path.join(out, "1_eqv.tsv"), "w") as f:
+            for r in nations:
+                f.write(f"dbr:N{r['n_nationkey']}\tnation:{r['n_nationkey']}\t0.9\n")
+        open(_os.path.join(out, "2_eqv.tsv"), "w").close()
+        with open(_os.path.join(out, "1_superrelations1.tsv"), "w") as f:
+            f.write("dbo:nation\trdfs:label\t0.8\n")
+        return read_paris_dir(s, out)
+
+    q["kg_paris_exchange"] = _paris_exchange
+
     def _ntriples(s, d):
         return ntriples_lines(
             _base_triples(s, d).filter(F.col("subject").startswith(NAT))
@@ -922,6 +959,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_json_extract"] = _json_extract
+
+    def _json_typed_literals(s, d):
+        """The object-vs-literal / datatype ladder of the JSON extractor
+        (_guess_dt, extract.py:82-100 mirroring the reference's
+        json_to_rdf.py:257-279): one doc per customer whose values cover
+        bool / int / float / datetime-string / date-string / integer-string
+        / float-string / plain string — every typed branch (and the lexical
+        form it must preserve, e.g. leading zeros on integer-strings) is
+        replayed closed-form by the oracle."""
+        from kgpipe_spark.operators.extract import extract_json_triples
+
+        k = F.col("c_custkey")
+        corpus = _read(s, d, "customer").select(
+            F.lit("org/typed").alias("repo"),
+            F.concat(F.lit("typed/"), k.cast("string"), F.lit(".json")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("json").alias("lang"),
+            F.to_json(
+                F.struct(
+                    (k % 2 == 0).alias("active"),
+                    F.concat(
+                        F.lit("1990-07-"), F.lpad((k % 28 + 1).cast("string"), 2, "0")
+                    ).alias("birthday"),
+                    F.lpad((k % 997).cast("string"), 5, "0").alias("code"),
+                    k.alias("count"),
+                    F.concat(
+                        F.lit("2021-03-04T05:06:"), F.lpad((k % 60).cast("string"), 2, "0")
+                    ).alias("joined"),
+                    F.concat(F.lit("plain "), k.cast("string")).alias("note"),
+                    F.lit("1.5e2").alias("rate"),
+                    ((k % 10).cast("double") + F.lit(0.5)).alias("score"),
+                )
+            ).alias("content"),
+        )
+        return (
+            extract_json_triples(corpus)
+            .select("subject", "predicate", "object_lex", "object_kind", "object_datatype")
+            .distinct()
+        )
+
+    q["kg_json_typed_literals"] = _json_typed_literals
 
     def _nt_roundtrip(s, d):
         """emit → parse N-Triples roundtrip; the oracle states the algebraic
@@ -1721,6 +1799,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_te_from_json"] = _te_from_json
+
+    def _te_json_roundtrip(s, d):
+        """TE_JSON exchange sink+scan under the driver gate (write_te_json →
+        read_te_json, readers.py:121-176 mirroring the reference's
+        one-``model_dump_json``-per-file contract, aggregation.py:38-45):
+        the re-read documents must explode to exactly the rows the direct
+        construct emits (same oracle as kg_te_from_json on the same
+        deterministic 1-in-10 customer subset)."""
+        import os as _os
+
+        from kgpipe_spark.operators.te_construct import construct_te_document_from_json
+        from kgpipe_spark.sources.readers import read_te_json, write_te_json
+
+        cust = _read(s, d, "customer").filter(F.col("c_custkey") % 10 == 0)
+        nation = _read(s, d, "nation")
+        corpus = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            F.lit("org/tpch").alias("repo"),
+            F.concat(F.lit("cust/"), F.col("c_custkey").cast("string"), F.lit(".json")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("json").alias("lang"),
+            F.to_json(
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.struct(F.col("n_name").alias("name")).alias("nation"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_acctbal").alias("balance"),
+                )
+            ).alias("content"),
+        )
+        out = _os.path.join(
+            _os.environ.get("TMPDIR", "/tmp"),
+            f"kg_te_json_{s.sparkContext.applicationId}_{_os.path.basename(d.rstrip('/'))}",
+        )
+        write_te_json(construct_te_document_from_json(corpus), out)
+        back = read_te_json(s, out)
+        return back.select("doc_id", F.explode("triples").alias("t")).select(
+            "doc_id",
+            F.col("t.subject.surface_form").alias("s_surface"),
+            F.col("t.subject.mapping").alias("s_mapping"),
+            F.col("t.predicate.surface_form").alias("p_surface"),
+            F.col("t.object.surface_form").alias("o_surface"),
+            F.col("t.object.mapping").alias("o_mapping"),
+        )
+
+    q["kg_te_json_roundtrip"] = _te_json_roundtrip
 
     def _flagship_stats(s, d):
         from kgpipe_spark.eval.statistics import count_measures
@@ -3154,9 +3277,9 @@ def oracle_sql() -> dict[str, str]:
 
     # relation-linker oracle: the TE predicate surfaces of this corpus are
     # exactly {{name, nation, segment, balance}}; replay the hashed-gram
-    # cosine (exact int dot / sqrt — bit-identical doubles) with the
-    # recall-complete share-any-gram blocking and the (cos desc, uri asc)
-    # argmax
+    # cosine (exact int dot / sqrt — bit-identical doubles) over the same
+    # share-any-bin pair set as the small-target path and the
+    # (cos desc, uri asc) argmax
     sql["kg_relation_link_top1"] = f"""
         WITH surfaces(id, text) AS (VALUES
           ('name', 'name'), ('nation', 'nation'),
@@ -3168,7 +3291,7 @@ def oracle_sql() -> dict[str, str]:
           ('http://kg.org/prop/mktsegment', 'label: mktsegment; altLabels: ')),
         {_sql_embed('ms', 'surfaces')},
         {_sql_embed('ps', 'props')},
-        {_sql_cosine_all('ms', 'ps', 'rc')}
+        {_sql_cosine_binpairs('ms', 'ps', 'rc')}
         SELECT lid AS span, rid AS mapping, round(cos, 6) AS score_r FROM (
           SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn
           FROM rc
@@ -3346,6 +3469,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, s_surface, s_surface AS s_mapping, p_surface, o_surface,
                CASE WHEN o_http THEN o_surface ELSE NULL END AS o_mapping
         FROM t
+    """
+
+    # the TE_JSON sink+scan roundtrip must reproduce the direct construct's
+    # rows exactly (1-in-10 customer subset keeps the per-doc-file sink
+    # exchange-sized at every sf)
+    sql["kg_te_json_roundtrip"] = """
+        WITH src AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS doc_id, c_name, c_mktsegment,
+                 CAST(c_acctbal AS VARCHAR) AS bal, n_name,
+                 'http://kg.org/json/' || c_custkey AS duri,
+                 'http://example.org/' || sha256('{"name": "' || n_name || '"}') AS nuri
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          WHERE c_custkey % 10 = 0
+        ),
+        t AS (
+          SELECT doc_id, duri AS s_surface, 'name' AS p_surface, c_name AS o_surface, FALSE AS o_http FROM src
+          UNION ALL
+          SELECT doc_id, duri, 'nation', nuri, TRUE FROM src
+          UNION ALL
+          SELECT doc_id, nuri, 'name', n_name, FALSE FROM src
+          UNION ALL
+          SELECT doc_id, duri, 'segment', c_mktsegment, FALSE FROM src
+          UNION ALL
+          SELECT doc_id, duri, 'balance', bal, FALSE FROM src
+        )
+        SELECT doc_id, s_surface, s_surface AS s_mapping, p_surface, o_surface,
+               CASE WHEN o_http THEN o_surface ELSE NULL END AS o_mapping
+        FROM t
+    """
+
+    # read_paris_dir: iteration 1 is the last non-empty one; dbr:/dbo:/rdfs:
+    # expand, the unknown 'nation:' prefix passes through untouched
+    sql["kg_paris_exchange"] = """
+        SELECT 'http://dbpedia.org/resource/N' || n_nationkey AS id_1,
+               'nation:' || n_nationkey AS id_2,
+               CAST(0.9 AS DOUBLE) AS score, 'entity' AS id_type
+        FROM nation
+        UNION ALL
+        SELECT 'http://dbpedia.org/ontology/nation',
+               'http://www.w3.org/2000/01/rdf-schema#label',
+               CAST(0.8 AS DOUBLE), 'relation'
     """
 
     _NORM = "trim(regexp_replace(lower(replace(replace({c}, '_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
@@ -3875,7 +4039,7 @@ def oracle_sql() -> dict[str, str]:
           ('http://kg.org/prop/writer', 'label: written by; altLabels: writer')),
         {_sql_embed(p + 'm', p + 'psurf')},
         {_sql_embed(p + 'p', p + 'props')},
-        {_sql_cosine_all(p + 'm', p + 'p', p + 'c')},
+        {_sql_cosine_binpairs(p + 'm', p + 'p', p + 'c')},
         {p}relmap AS MATERIALIZED (
           SELECT lid AS surface, rid AS prop FROM (
             SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn FROM {p}c
@@ -3928,8 +4092,9 @@ def oracle_sql() -> dict[str, str]:
 
     def _text_staging_full(kgname: str, p: str) -> str:
         """text_b staging: closed-form OpenIE surfaces → embedding EL
-        (cosine argmax per surface vs {kgname}'s geography labels, hot-gram
-        brute backstop — label_alias_embedding_el) → embedding RL against
+        (cosine argmax per surface vs {kgname}'s geography labels via the
+        share-any-bin small-target pair set — label_alias_embedding_el's
+        dictionary-sized fast path) → embedding RL against
         director/writer ONLY (the 'stars' surface stays unlinked and mints
         prop/stars) → FULL te_documents_to_triples (construct.py without the
         mappings-only filter): minted predicates/subjects, label rows,
@@ -3957,7 +4122,7 @@ def oracle_sql() -> dict[str, str]:
           ('http://kg.org/prop/writer', 'label: written by; altLabels: writer')),
         {_sql_embed(p + 'm', p + 'psurf')},
         {_sql_embed(p + 'p', p + 'props')},
-        {_sql_cosine_backstop(p + 'm', p + 'p', p + 'c', p + 'psurf')},
+        {_sql_cosine_binpairs(p + 'm', p + 'p', p + 'c')},
         {p}relmap AS MATERIALIZED (
           SELECT lid AS surface, rid AS prop FROM (
             SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn FROM {p}c
@@ -3982,7 +4147,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         {_sql_embed(p + 'e', p + 'esurf')},
         {_sql_embed(p + 't', p + 'etgt')},
-        {_sql_cosine_backstop(p + 'e', p + 't', p + 'ec', p + 'esurf')},
+        {_sql_cosine_binpairs(p + 'e', p + 't', p + 'ec')},
         {p}eltop AS MATERIALIZED (
           SELECT lid AS span, rid AS mapping, cos FROM (
             SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rn FROM {p}ec
@@ -4148,7 +4313,8 @@ def oracle_sql() -> dict[str, str]:
 
     # text_b staging (pipeline.conf:112-124 through construct_rdf_from_te_json):
     # OpenIE surfaces → embedding EL (cosine argmax vs the seed's geography
-    # labels, hot-gram backstop) → embedding RL (director/writer only — the
+    # labels, share-any-bin small-target pair set) → embedding RL
+    # (director/writer only — the
     # 'stars' surface mints prop/stars) → FULL TE construct with minted
     # subjects/predicates, labels and domain/range types
     sql["kg_te_construct_full"] = f"""
@@ -4276,6 +4442,42 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT nuri, '{_RT}', 'http://kg.org/onto/EXCNation', 'uri', NULL FROM doc
           UNION ALL SELECT nuri, '{_RL}', n_name, 'literal', '{_XS}' FROM doc
           UNION ALL SELECT nuri, 'http://kg.org/prop/name', n_name, 'literal', '{_XS}' FROM doc
+        )
+    """
+
+    # _guess_dt ladder replay: the canonical-JSON md5 mint (sorted keys, no
+    # spaces) and every datatype branch, lexical forms preserved verbatim
+    sql["kg_json_typed_literals"] = f"""
+        WITH src AS (
+          SELECT c_custkey AS k,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END AS active,
+                 '1990-07-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS birthday,
+                 lpad(CAST(c_custkey % 997 AS VARCHAR), 5, '0') AS code,
+                 CAST(c_custkey AS VARCHAR) AS cnt,
+                 '2021-03-04T05:06:' || lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0') AS joined,
+                 'plain ' || c_custkey AS note,
+                 CAST(c_custkey % 10 + 0.5 AS VARCHAR) AS score
+          FROM customer
+        ),
+        doc AS MATERIALIZED (
+          SELECT *,
+            'http://kg.org/e/' || md5('{{"active":' || active || ',"birthday":"' || birthday
+              || '","code":"' || code || '","count":' || cnt || ',"joined":"' || joined
+              || '","note":"' || note || '","rate":"1.5e2","score":' || score || '}}') AS duri
+          FROM src
+        )
+        SELECT DISTINCT subject, predicate, object_lex, object_kind, object_datatype FROM (
+          SELECT duri AS subject, '{_RT}' AS predicate,
+                 'http://kg.org/onto/EXCDocument' AS object_lex,
+                 'uri' AS object_kind, CAST(NULL AS VARCHAR) AS object_datatype FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/active', active, 'literal', '{XSD_BOOLEAN}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/birthday', birthday, 'literal', '{XSD_DATE}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/code', code, 'literal', '{XSD_INTEGER}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/count', cnt, 'literal', '{XSD_INTEGER}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/joined', joined, 'literal', '{XSD_DATETIME}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/note', note, 'literal', '{_XS}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/rate', '1.5e2', 'literal', '{_XD}' FROM doc
+          UNION ALL SELECT duri, 'http://kg.org/prop/score', score, 'literal', '{_XD}' FROM doc
         )
     """
 
@@ -4851,65 +5053,29 @@ def _sql_embed(p: str, src: str) -> str:
 {p}_norm AS MATERIALIZED (SELECT id, sum(v * v) AS ssq FROM {p}_bins GROUP BY id)"""
 
 
-def _sql_cosine_all(a: str, e: str, out: str, max_block: int = 1000) -> str:
-    """CTE chain: {out}(lid, rid, cos) — share-any-(non-hot)-gram candidate
-    pairs with exact cosine (cosine_pairs(prefix_filter=False): the
-    recall-complete blocking required by top-1/no-threshold consumers)."""
+def _sql_cosine_binpairs(a: str, e: str, out: str) -> str:
+    """CTE chain: {out}(lid, rid, cos) — the exact pair set and scores of
+    ``te_construct._blocked_top1``'s small-target path (``soft.
+    cosine_all_pairs``): every (left, right) pair sharing at least one HASH
+    BIN, scored by the same integer bin dot / sqrt. The Spark side joins the
+    64-bin vectors directly (no gram-candidate restriction), so a pair that
+    shares a bin through hash collision alone carries a nonzero score there;
+    a gram-blocked oracle candidate set would EXCLUDE such pairs and can
+    disagree on the argmax for mentions whose genuine candidates are weak.
+    Replaying the identical bin join keeps the pair sets — and therefore
+    every top-1 — bit-identical. Only valid where the target side is
+    structurally dictionary-sized (≤ max_block at EVERY scale factor:
+    ontology properties, nation/region geography labels), which is what
+    guarantees the Spark side takes the small-target path."""
     return f"""
-{out}_keep AS MATERIALIZED (
-  SELECT g FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) la
-  JOIN (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) ra USING (g)
-  WHERE la.c <= {max_block} AND ra.c <= {max_block}
-),
-{out}_cand AS MATERIALIZED (
-  SELECT DISTINCT l.id AS lid, r.id AS rid
-  FROM (SELECT id, g FROM {a}_gd SEMI JOIN {out}_keep USING (g)) l
-  JOIN (SELECT id, g FROM {e}_gd SEMI JOIN {out}_keep USING (g)) r USING (g)
-),
 {out} AS MATERIALIZED (
-  SELECT c.lid, c.rid,
-         sum(lb.v * rb.v) / (sqrt(min(ln.ssq)) * sqrt(min(rn.ssq))) AS cos
-  FROM {out}_cand c
-  JOIN {a}_bins lb ON lb.id = c.lid
-  JOIN {e}_bins rb ON rb.id = c.rid AND rb.bin = lb.bin
-  JOIN {a}_norm ln ON ln.id = c.lid
-  JOIN {e}_norm rn ON rn.id = c.rid
-  GROUP BY c.lid, c.rid
-)"""
-
-
-def _sql_cosine_backstop(a: str, e: str, out: str, asrc: str, max_block: int = 1000) -> str:
-    """CTE chain: {out}(lid, rid, cos) — the pair set of
-    ``te_construct._blocked_top1``: share-any-(non-hot)-gram blocked pairs,
-    with any LEFT mention touching a hot gram (or with zero blocked
-    candidates) re-scored against the FULL right side by the identical exact
-    cosine. ``asrc`` = the left (id, text) source CTE (the mention universe
-    for the zero-candidate check)."""
-    return f"""
-{_sql_cosine_all(a, e, out + 'b', max_block)},
-{out}_hot AS MATERIALIZED (
-  SELECT g FROM (SELECT g, count(*) AS c FROM {a}_gd GROUP BY g) la
-  FULL OUTER JOIN (SELECT g, count(*) AS c FROM {e}_gd GROUP BY g) ra USING (g)
-  WHERE coalesce(la.c, 0) > {max_block} OR coalesce(ra.c, 0) > {max_block}
-),
-{out}_brute AS MATERIALIZED (
-  SELECT DISTINCT id FROM {a}_gd SEMI JOIN {out}_hot USING (g)
-  UNION
-  SELECT id FROM {asrc} ANTI JOIN (SELECT DISTINCT lid AS id FROM {out}b) USING (id)
-),
-{out}_bsc AS MATERIALIZED (
   SELECT lb.id AS lid, rb.id AS rid,
          sum(lb.v * rb.v) / (sqrt(min(ln.ssq)) * sqrt(min(rn.ssq))) AS cos
-  FROM (SELECT b2.* FROM {a}_bins b2 SEMI JOIN {out}_brute USING (id)) lb
+  FROM {a}_bins lb
   JOIN {e}_bins rb ON rb.bin = lb.bin
   JOIN {a}_norm ln ON ln.id = lb.id
   JOIN {e}_norm rn ON rn.id = rb.id
   GROUP BY lb.id, rb.id
-),
-{out} AS MATERIALIZED (
-  SELECT k.lid, k.rid, k.cos FROM {out}b k ANTI JOIN {out}_brute br ON k.lid = br.id
-  UNION ALL
-  SELECT lid, rid, cos FROM {out}_bsc
 )"""
 
 

@@ -40,6 +40,13 @@ def main() -> None:
         help="time each pipeline stage separately (persist+count barriers; "
         "diagnostic mode — adds actions the plain run fuses away)",
     )
+    ap.add_argument(
+        "--eval-report",
+        action="store_true",
+        help="after the run, print the long-table evaluation report "
+        "(aspect | metric | value) for the produced KG against the seed — "
+        "the reference CLI's report surface",
+    )
     args = ap.parse_args()
 
     from kgpipe_spark.corpus import seed_kg, synth_corpus
@@ -116,6 +123,26 @@ def main() -> None:
     else:
         n = triples.count()
     dt = time.time() - t0
+
+    if args.eval_report:
+        # the reference CLI's evaluation report (cli report command /
+        # evaluator long table): one row per metric, rendered as a fixed
+        # three-column table on stderr so the JSON line below stays the
+        # machine-readable output
+        from kgpipe_spark.eval.report import eval_report
+        from kgpipe_spark.pipelines import default_flagship_ontology
+
+        # cut the flagship lineage first: the report references the KG once
+        # per metric row, so an un-materialized pipeline plan would be
+        # re-evaluated ~16x (and Catalyst would choke on the unioned DAG)
+        rep = eval_report(
+            triples.localCheckpoint(), seed, default_flagship_ontology(spark, seed)
+        ).collect()
+        print(f"{'aspect':<14}{'metric':<28}value", file=sys.stderr)
+        for r in rep:
+            v = r["value"]
+            vs = f"{v:.6f}".rstrip("0").rstrip(".") if v is not None else ""
+            print(f"{r['aspect']:<14}{r['metric']:<28}{vs}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -250,3 +250,59 @@ def test_flagship_ontology_parameterized(spark, small_corpus, seed):
         (F.col("predicate").endswith("#type"))
         & (F.col("object_lex") == "http://kg.org/onto/Studio")
     ).count() > 0
+
+
+def test_incremental_msp_order_permutations_converge(spark):
+    """test_inc_msp.py:17-33 / config.py:60-64 parametrize PERMUTATIONS of
+    one SSP per source format. Where neither source depends on the other's
+    entities, both orderings must converge to the SAME final KG (the
+    reference's fold-in is per-stage deterministic); where a later source
+    links against an entity an earlier stage introduced, order must show up
+    only as that entity's canonical URI, never as a row-count divergence of
+    the seed-derived facts."""
+    from kgpipe_spark.pipelines import run_incremental_msp
+
+    seed = _mini_kg(spark, [
+        ("http://kg.org/cust/1", _RL, "Alice", "literal", _XS),
+        ("http://kg.org/cust/2", _RL, "Bob", "literal", _XS),
+    ])
+    src_a = _mini_kg(spark, [
+        ("http://other.org/a", _RL, "Alice", "literal", _XS),
+        ("http://other.org/a", "http://kg.org/prop/x", "1", "literal", _XS),
+    ])
+    src_b = _mini_kg(spark, [
+        ("http://elsewhere.org/b", _RL, "Bob", "literal", _XS),
+        ("http://elsewhere.org/b", "http://kg.org/prop/y", "2", "literal", _XS),
+    ])
+    fusable = spark.createDataFrame([(_RL,)], ["predicate"])
+    onto = _mini_ontology(spark)
+
+    def run(order):
+        out, _ = run_incremental_msp(spark, seed, order, onto)
+        return {tuple(r) for r in out.collect()}
+
+    ab = run([("a", lambda kg: src_a, fusable), ("b", lambda kg: src_b, fusable)])
+    ba = run([("b", lambda kg: src_b, fusable), ("a", lambda kg: src_a, fusable)])
+    assert ab == ba
+    assert ("http://kg.org/cust/1", "http://kg.org/prop/x", "1", "literal", _XS) in ab
+    assert ("http://kg.org/cust/2", "http://kg.org/prop/y", "2", "literal", _XS) in ab
+
+    # order-DEPENDENT case: src_c introduces Carol; src_d links to Carol by
+    # label. d-after-c folds Carol's fact onto c's URI; d-before-c mints
+    # nothing either way but keeps d's own URI — entity counts still match
+    src_c = _mini_kg(spark, [
+        ("http://c.org/carol", _RL, "Carol", "literal", _XS),
+    ])
+    src_d = _mini_kg(spark, [
+        ("http://d.org/carol", _RL, "Carol", "literal", _XS),
+        ("http://d.org/carol", "http://kg.org/prop/z", "3", "literal", _XS),
+    ])
+    cd = run([("c", lambda kg: src_c, fusable), ("d", lambda kg: src_d, fusable)])
+    dc = run([("d", lambda kg: src_d, fusable), ("c", lambda kg: src_c, fusable)])
+    subjects_cd = {s for s, *_ in cd}
+    subjects_dc = {s for s, *_ in dc}
+    # same number of distinct entities either way (the reference's
+    # convergence claim); the canonical URI of Carol may differ by order
+    assert len(subjects_cd) == len(subjects_dc)
+    assert ("http://kg.org/prop/z" in {p for _, p, *_ in cd})
+    assert ("http://kg.org/prop/z" in {p for _, p, *_ in dc})
