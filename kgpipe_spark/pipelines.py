@@ -278,11 +278,14 @@ def _stage_fuse_complete(
     if ontology is None:
         ontology = default_flagship_ontology(spark, seed)
 
+    # localCheckpoint (not persist): three downstream references (non-type
+    # partition, existing types, type inference) would otherwise each carry
+    # the full fuse plan — see the run_flagship stage-boundary note
     fused = fuse_first_value(
         seed.select(*TRIPLE_COLS),
         canonical.select(*TRIPLE_COLS),
         fusable=_fusable(spark, ontology),
-    ).persist()
+    ).localCheckpoint()
     # type completion touches only rdf:type rows: dedupe the type SUBSET
     # (existing ∪ inferred) instead of re-shuffling the whole KG — the
     # non-type partition is already exact from fuse_first_value
@@ -311,11 +314,15 @@ def run_flagship(
     Returns the fused triples table (with the seed folded in).
     """
     # stage boundary: extraction feeds three downstream consumers (linking,
-    # CC edge building, canonicalize rewrite joins) — cache once (compressed
-    # columnar) so the pandas-UDF extraction isn't recomputed per consumer
-    # (on a cluster this is the per-stage Iceberg snapshot; see
-    # run_flagship_checkpointed for the durable variant).
-    extracted = _stage_extract(spark, corpus, seed, shuffle_partitions).persist()
+    # CC edge building, canonicalize rewrite joins). localCheckpoint — not
+    # persist — because besides caching it CUTS THE LOGICAL PLAN: each
+    # downstream stage references its input 2-3×, so with lineage intact the
+    # final plan tree multiplies to ~14 MB of plan text whose Catalyst/AQE
+    # analysis stalls the DRIVER ~20-30 s per run independent of data size
+    # (measured via event-log gap analysis at 1k rows) — a serial cost that
+    # directly caps N→4N scaling efficiency. (On a cluster this boundary is
+    # the per-stage Iceberg snapshot; see run_flagship_checkpointed.)
+    extracted = _stage_extract(spark, corpus, seed, shuffle_partitions).localCheckpoint()
     canonical = _stage_link_canonicalize(spark, extracted, seed)
     return _stage_fuse_complete(spark, canonical, seed, ontology)
 

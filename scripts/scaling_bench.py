@@ -77,7 +77,16 @@ def run_calibration(cores: int) -> float:
 
 
 def main() -> None:
+    global N_CORES, N4_CORES, TRIALS
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    # optional: core pair + trial count (the brief's example pairs include
+    # local[8] vs local[32]); the 4x ratio is asserted, not assumed
+    if len(sys.argv) > 3:
+        N_CORES, N4_CORES = int(sys.argv[2]), int(sys.argv[3])
+        assert N4_CORES == 4 * N_CORES, "north rule compares N vs 4N"
+    if len(sys.argv) > 4:
+        TRIALS = int(sys.argv[4])
+    loadavg_start = os.getloadavg()[0]
 
     # interleaved trials: N, 4N, N, 4N (cancels slow host drift)
     pipe: dict[int, list[dict]] = {N_CORES: [], N4_CORES: []}
@@ -98,9 +107,14 @@ def main() -> None:
 
     # diagnostic pass: per-stage wall clock at both levels (separate runs —
     # the persist+count barriers change the fused plan, so these attribute
-    # the residual, they don't replace the headline timings)
-    stages_n = run_pipeline_level(N_CORES, rows, stage_times=True).get("stage_times", {})
-    stages_n4 = run_pipeline_level(N4_CORES, rows, stage_times=True).get("stage_times", {})
+    # the residual, they don't replace the headline timings).
+    # SCALING_SKIP_STAGES=1 skips it (window-hunting mode: headline only)
+    if os.environ.get("SCALING_SKIP_STAGES"):
+        stages_n: dict = {}
+        stages_n4: dict = {}
+    else:
+        stages_n = run_pipeline_level(N_CORES, rows, stage_times=True).get("stage_times", {})
+        stages_n4 = run_pipeline_level(N4_CORES, rows, stage_times=True).get("stage_times", {})
 
     report = {
         "rows": rows,
@@ -118,8 +132,18 @@ def main() -> None:
         "triples": n4["triples"],
         "stage_times_N": stages_n,
         "stage_times_4N": stages_n4,
+        "trials_N_sec": [r["duration_sec"] for r in pipe[N_CORES]],
+        "trials_4N_sec": [r["duration_sec"] for r in pipe[N4_CORES]],
+        "calib_N_sec": calib[N_CORES],
+        "calib_4N_sec": calib[N4_CORES],
+        "loadavg": [round(loadavg_start, 2), round(os.getloadavg()[0], 2)],
     }
     print(json.dumps(report))
+
+    # window-hunting mode: report JSON only, leave the recorded markdown
+    # evidence untouched
+    if os.environ.get("SCALING_NO_MD"):
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -166,7 +190,7 @@ the barriers un-fuse the plan):
             f"{round(stages_n[k] / stages_n4[k], 2) if stages_n.get(k) and stages_n4.get(k) else '?'}× |\n"
             for k in ("extract", "link_canonicalize", "fuse_complete")
         ) + f"""
-Reproduce: `python scripts/scaling_bench.py {rows}`
+Reproduce: `python scripts/scaling_bench.py {rows} {N_CORES} {N4_CORES} {TRIALS}`
 (each level: `python jobs/run_pipeline.py --master local[{{{N_CORES},{N4_CORES}}}] --rows {rows}`;
 ships to a real cluster via `spark-submit --py-files kgpipe_spark.zip`).
 """
