@@ -14,6 +14,7 @@ Scale notes (100 TB / 1000-executor design intent, tested on local[N]):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,20 @@ def get_spark(
         local_dir = "/dev/shm/spark-local"
         os.makedirs(local_dir, exist_ok=True)
 
+    # Cap JVM GC threads to the executor core count on small local[N]
+    # masters: G1 defaults ParallelGCThreads to ~23 on this 32-vCPU host, so
+    # a local[2] "executor" would borrow ~23 host cores during every GC pause
+    # — a real 2-core executor has 2. Without the cap, N-vs-4N scaling runs
+    # understate speedup (GC wall time is near-constant across levels, acting
+    # as serial time that a real cluster would parallelize per-executor).
+    # Only applied below the host core count; JVM-start-only, so a reused
+    # session (getOrCreate) is unaffected.
+    gc_opts = ""
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m and int(m.group(1)) < os.cpu_count():
+        n = int(m.group(1))
+        gc_opts = f"-XX:ParallelGCThreads={n} -XX:ConcGCThreads={max(1, n // 4)}"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -54,6 +69,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if gc_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
