@@ -35,6 +35,15 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
+        "--warm-runs",
+        type=int,
+        default=0,
+        help="untimed full pipeline runs before the timed one (steady-state "
+        "measurement: a cluster executor JVM is long-lived, so JIT/Catalyst/"
+        "codegen-cache warmth is its normal operating point; applied "
+        "identically at every parallelism level in scaling comparisons)",
+    )
+    ap.add_argument(
         "--stage-times",
         action="store_true",
         help="time each pipeline stage separately (persist+count barriers; "
@@ -76,6 +85,9 @@ def main() -> None:
 
     # warmup (JVM/codegen), excluded from the timed run
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for _ in range(args.warm_runs):
+        run_flagship(spark, corpus, seed).count()
+        spark.catalog.clearCache()
 
     t0 = time.time()
     if args.checkpoint_dir:

