@@ -87,13 +87,13 @@ def main() -> int:
         env = dict(os.environ, SCALING_SKIP_STAGES="1", SCALING_NO_MD="1")
         # write the pair's report to a file, not a pipe: if this parent dies
         # mid-fire, the orphaned measurement must still be recoverable.
-        # trials=1: with --warm-runs each level already runs twice in its
-        # JVM, and the shorter pair fits inside one host window.
+        # trials=2 interleaved with min-per-level: a single stolen leg
+        # (T_N legs vary ±13% across minutes) doesn't sink the attempt.
         attempt_out = f"/tmp/scaling_attempt_{i}.json"
         with open(attempt_out, "w") as fh:
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
-                 str(rows), "2", "8", "1"],
+                 str(rows), "2", "8", "2"],
                 stdout=fh, stderr=subprocess.DEVNULL, cwd=REPO, timeout=7200, env=env,
             )
         with open(attempt_out) as fh:
