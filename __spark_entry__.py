@@ -1145,8 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _pipeline_tail(s, fused):
         """Shared §3.4 pipeline tail: type inference + type-row merge."""
         # fused feeds three consumers (type filter, inference join, non-type
-        # filter) — persist so the fusion isn't recomputed per branch
-        fused = fused.persist()
+        # filter) — localCheckpoint so the fusion isn't recomputed per branch
+        # (and, unlike persist, the blocks are ContextCleaner-freed after the
+        # query: the gate session runs 110 queries in one JVM)
+        fused = fused.localCheckpoint()
         inferred = type_inference_simple(fused, _ontology(s))
         dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
         types = (
@@ -1410,7 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .localCheckpoint()
         )
         linked = link_entities(kg2, label_dictionary(kg1))
-        fused = select_first_value(kg1, linked, _ontology(s)).persist()
+        fused = select_first_value(kg1, linked, _ontology(s)).localCheckpoint()
         inferred = type_inference_simple(fused, _ontology(s))
         dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
         types = (
@@ -1486,7 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kgpipe_spark.operators.fusion import select_first_value
 
         kg1, onto_b, staging = _text_b_staging(s, d)
-        fused = select_first_value(kg1, staging, onto_b).persist()
+        fused = select_first_value(kg1, staging, onto_b).localCheckpoint()
         inferred = type_inference_simple(fused, onto_b)
         dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
         types = (
@@ -2572,6 +2574,82 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
     q["rel_sessionize_stateful"] = _sessionize_stateful
 
+    # watermarked tumbling-window aggregation AS A STREAM (windowed.py):
+    # events arrive as two globally-time-split file chunks plus a far-future
+    # sentinel chunk whose only job is to push the watermark past every real
+    # window's end, so append mode emits ALL real windows exactly once; the
+    # global time split means no real event is ever behind the watermark, so
+    # the emitted set must equal the batch tumbling-window aggregation —
+    # which the oracle states in closed form (the sentinel's own window never
+    # closes, hence never emits)
+    def _windowed_counts(s, d):
+        import hashlib
+        import shutil
+        import tempfile
+        import time as _time
+
+        from kgpipe_spark.streaming.windowed import windowed_event_counts
+
+        tag = hashlib.md5(d.encode()).hexdigest()[:10] + "_" + s.sparkContext.applicationId
+        base = os.path.join(tempfile.gettempdir(), f"kg_wind_q_{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+
+        ev = _read(s, d, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        bounds = ev.agg(
+            F.expr("percentile_approx(cast(ts as long), 0.5, 10000)").alias("cut"),
+            F.max(F.col("ts").cast("long")).alias("maxts"),
+        ).collect()[0]
+        cut, maxts = bounds["cut"], bounds["maxts"]
+        ev.filter(F.col("ts").cast("long") <= cut).coalesce(1).write.parquet(f"{in_dir}/c1")
+        ev.filter(F.col("ts").cast("long") > cut).coalesce(1).write.parquet(f"{in_dir}/c2")
+        sentinel = s.createDataFrame(
+            [(-1, "__sentinel__", 0.0)], "event_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp(F.lit(maxts + 7200).cast("long")))
+        sentinel.select("event_id", "ts", "event_type", "value").coalesce(1).write.parquet(
+            f"{in_dir}/c3"
+        )
+        # file source replays in mtime order: explicit ascending mtimes
+        t0 = _time.time() - 300
+        for sub, off in (("c1", 0), ("c2", 60), ("c3", 120)):
+            for root, _, files in os.walk(f"{in_dir}/{sub}"):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t0 + off, t0 + off))
+
+        stream = (
+            s.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*")
+        )
+        query = (
+            windowed_event_counts(stream, "10 minutes", "30 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return (
+            s.read.parquet(out_dir)
+            .filter(F.col("event_type") != "__sentinel__")
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+                "event_type",
+                "n",
+                "total",
+            )
+        )
+
+    q["rel_windowed_counts"] = _windowed_counts
+
     def _events_json(s, d):
         ev = _read(s, d, "events")
         k = F.get_json_object("props", "$.k").cast("int")
@@ -2770,70 +2848,15 @@ def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # outside the round-2 window — the 9 rel_* (4 were red in round 1), doc_*,
 # emb_*, and the soft/coverage queries.
 _RECORD_FIRST = [
-    # round-4 registrations — recorded first so every query new to this
-    # round gets a driver verdict
-    "kg_eval_report",
-    "kg_pipeline_json_b",
-    "kg_pipeline_text_b",
-    "kg_te_construct_full",
-    "kg_incremental_msp_perm2",
-    # top-1 embedding linkers rebuilt on _blocked_top1 this round — keep the
-    # directly-affected queries inside the recorded window
-    "kg_relation_link_top1",
-    "kg_pipeline_text_a",
-    # round-4 new / behavior-changed (kg_link_two_pass got its oracle this
-    # round; the other three were registered in round 3 but missing from this
-    # list, so their oracles were never driver-recorded — ADVICE r3)
-    "kg_link_two_pass",
-    "doc_media_resize",
-    "rel_q5_local_volume",
-    "rel_sessionize_stateful",
-    "kg_remove_inconsistent",
-    "kg_flagship_pipeline",
-    # round-3 new
-    "kg_pipeline_json_a",
-    "kg_pipeline_text_a",
-    "kg_incremental_3stage",
-    "kg_csv_roundtrip",
-    "kg_te_links_seed_uri",
-    "doc_media_real_decode",
-    # round-1 red, unrecorded in round 2
-    "rel_q1_pricing_summary",
-    "rel_q3_top10",
-    "rel_join_enrich",
-    "rel_events_sessionize",
-    # remaining rel_*
-    "rel_supplier_part_rollup",
-    "rel_customers_without_orders",
-    "rel_window_top_orders",
-    "rel_events_json_extract",
-    "rel_set_except",
-    # doc_* / emb_*
-    "doc_dedup_exact",
-    "doc_minhash_lsh_pairs",
-    "doc_ngram_jaccard_pairs",
-    "doc_token_count",
-    "doc_quality_features",
-    "doc_language_id",
-    "doc_fingerprint",
-    "doc_simhash",
-    "emb_cosine_topk",
-    "emb_bucketed_near_dup",
-    "emb_ivf_topk_fullprobe",
-    "emb_ivf_recall",
-    "emb_hyperplane_buckets",
-    "emb_lsh_near_dup",
-    # soft / coverage
-    "kg_soft_label_matches",
-    "kg_soft_fact_alignment_entities",
-    "kg_soft_fact_alignment_values",
-    "kg_source_coverage_exact",
-    "kg_source_coverage_fuzzy",
-    "kg_source_precision_fuzzy",
-    # remaining round-2 unrecorded
-    "kg_te_expected_links",
-    "kg_te_from_json",
-    "kg_flagship_stats",
+    # ---- round-5 window (exactly 50 = the driver's recorded window). ----
+    # new this round
+    "rel_windowed_counts",
+    # never driver-recorded before round 5 (ADVICE r4 medium: three of these
+    # were registered in r3/r4 outside the window; the rest fell out in r2-r4
+    # rotations — preflight/test_contract now fail if this set is non-empty)
+    "kg_paris_exchange",
+    "kg_json_typed_literals",
+    "kg_te_json_roundtrip",
     "kg_preference_fusion",
     "kg_link_or_mint",
     "kg_link_embed_top1",
@@ -2844,6 +2867,48 @@ _RECORD_FIRST = [
     "kg_json_sampler",
     "kg_extract_ontology",
     "kg_streaming_ingest",
+    # behavior touched in round 5 (stage-boundary cut, _blocked_top1
+    # materialization + small-target assert, persist->localCheckpoint in
+    # soft/matching/MSP/pipeline tails)
+    "kg_flagship_pipeline",
+    "kg_flagship_stats",
+    "kg_pipeline_json_a",
+    "kg_pipeline_text_a",
+    "kg_pipeline_json_b",
+    "kg_pipeline_text_b",
+    "kg_pipeline_rdf_a",
+    "kg_pipeline_rdf_b",
+    "kg_te_construct_full",
+    "kg_relation_link_top1",
+    "kg_soft_fact_alignment_entities",
+    "kg_soft_fact_alignment_values",
+    "kg_paris_blocked_matching",
+    "kg_incremental_3stage",
+    "kg_incremental_msp_perm2",
+    "kg_eval_report",
+    # rotation: stable queries whose last driver verdict is round 2 (oldest
+    # first claim on the remaining slots; the ~24 still-r2 names rotate into
+    # the round-6 window)
+    "kg_extract_triples",
+    "kg_json_extract",
+    "kg_fuse_first_value",
+    "kg_connected_components",
+    "kg_canonicalize_triples",
+    "kg_canonical_map",
+    "kg_fact_alignment",
+    "kg_fuse_union",
+    "kg_fuse_majority",
+    "kg_match_edges",
+    "kg_best_match_1to1",
+    "kg_aggregate_matches",
+    "kg_statistics",
+    "kg_class_histogram",
+    "kg_predicate_histogram",
+    "kg_domain_violations",
+    "kg_datatype_violations",
+    "kg_cardinality_violations",
+    "kg_type_inference",
+    "kg_seed_subtract",
 ]
 
 
@@ -5464,6 +5529,24 @@ def _relational_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM w GROUP BY user_id
+    """
+
+    # the streaming run emits exactly the batch tumbling windows (sentinel
+    # chunk closes every real window; the global time split means nothing is
+    # late) — so the oracle IS the batch aggregation. Window start = epoch
+    # floor to 600 s, Spark's window() alignment.
+    sql["rel_windowed_counts"] = """
+        WITH b AS (
+          SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS ws,
+                 event_type, value
+          FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(20,4))) * 10000 AS BIGINT) / 10000.0 AS total
+        FROM b GROUP BY ws, event_type
     """
 
     sql["rel_join_enrich"] = """

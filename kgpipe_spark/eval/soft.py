@@ -314,7 +314,7 @@ def fact_alignment_soft_entities(
     # joins — materialize it once
     mapping = soft_entity_mapping(actual, expected, threshold, max_block).select(
         "actual_uri", "expected_uri"
-    ).persist()
+    ).localCheckpoint()
     ms = mapping.withColumnRenamed("actual_uri", "subject").withColumnRenamed(
         "expected_uri", "subject_m"
     )
@@ -394,8 +394,8 @@ def fact_alignment_soft_values(
     # the soft-mapping cosine chain folded into `ga` is referenced by the
     # pair join, the scored join AND the fn anti-join — persist both
     # expanded sides once instead of re-deriving the chain per consumer
-    ga = _label_expanded(actual, mapping).persist()
-    ge = _label_expanded(expected, None).persist()
+    ga = _label_expanded(actual, mapping).localCheckpoint()
+    ge = _label_expanded(expected, None).localCheckpoint()
 
     # embed each distinct value string once (relational CSE of encode_wrapper)
     vals = (
@@ -404,14 +404,14 @@ def fact_alignment_soft_values(
         .distinct()
         .withColumn("id", F.col("text"))
     )
-    vec = gram_bins(vals, "id", "text").persist()
+    vec = gram_bins(vals, "id", "text").localCheckpoint()
     norms = _with_norms(vec)
 
     pairs = (
         ga.join(
             ge.select("subject", "predicate", F.col("value").alias("evalue")),
             ["subject", "predicate"],
-        ).persist()
+        ).localCheckpoint()
     )
     dots = (
         pairs.join(vec.withColumnRenamed("id", "value"), "value")

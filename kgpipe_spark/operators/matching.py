@@ -105,7 +105,7 @@ def blocked_entity_matching(
     sf0.1); the candidate-restricted form is |candidates| × avg-degree."""
     # base candidates feed both the shared-neighbor count and the boost
     # join — materialize the token-blocking chain once
-    base = token_blocking_matches(kg1, kg2, threshold=0.0).persist()
+    base = token_blocking_matches(kg1, kg2, threshold=0.0).localCheckpoint()
 
     n1 = kg1.filter(F.col("object_kind") == "uri").select(
         F.col("subject").alias("id_1"), F.col("object_lex").alias("nbr")

@@ -546,7 +546,9 @@ def link_te_entities_dictionary(
     )
 
 
-def _blocked_top1(mentions: DataFrame, targets: DataFrame) -> DataFrame:
+def _blocked_top1(
+    mentions: DataFrame, targets: DataFrame, expect_small_targets: bool = False
+) -> DataFrame:
     """Exact-cosine top-1 of each mention (id, text) against a small target
     side (id, text): blocked candidate generation + hot-gram brute backstop.
 
@@ -597,13 +599,28 @@ def _blocked_top1(mentions: DataFrame, targets: DataFrame) -> DataFrame:
             )
         )
 
-    targets = targets.persist()
-    try:
-        n_targets = targets.count()
-    except Exception:
-        n_targets = None
-    if n_targets is not None and n_targets <= DEFAULT_MAX_BLOCK:
+    # localCheckpoint, not persist(): the target side is consumed 2-4x below
+    # (count probe, gram join, hot-gram stats, brute backstop). persist()
+    # registers in the session CacheManager and is never freed without an
+    # explicit unpersist — in the long-lived gate session running 110 queries
+    # those blocks accumulate in the /dev/shm-backed local dir; checkpointed
+    # RDD blocks are ContextCleaner-collected once the plan is dropped.
+    # Eager is fine: targets is dictionary/ontology-sized by contract here.
+    targets = targets.localCheckpoint()
+    n_targets = targets.count()
+    if n_targets <= DEFAULT_MAX_BLOCK:
         return _top1(cosine_all_pairs(mentions, targets))
+    if expect_small_targets:
+        # Oracle-backed callers replay the fast path's 64-bin candidate join
+        # in SQL (_sql_cosine_binpairs); silently switching to the gram-
+        # blocked path would diverge the candidate sets. Fail loudly instead.
+        raise ValueError(
+            f"_blocked_top1: target side has {n_targets} rows > "
+            f"DEFAULT_MAX_BLOCK={DEFAULT_MAX_BLOCK}, but this call site is "
+            "oracle-backed against the small-target all-pairs path "
+            "(_sql_cosine_binpairs). Raise DEFAULT_MAX_BLOCK or rework the "
+            "oracle to mirror the gram-blocked candidate set."
+        )
 
     pairs = cosine_pairs(mentions, targets, prefix_filter=False)
     lg = _grams_distinct(mentions, "id", "text")
@@ -686,7 +703,10 @@ def label_alias_embedding_el(te_docs: DataFrame, kg: DataFrame) -> DataFrame:
     mentions = surfaces.select(F.col("span").alias("id")).distinct().withColumn(
         "text", normalize_label(F.col("id"))
     )
-    best = _blocked_top1(mentions, targets)
+    # oracle-backed (kg_te_construct_full / pipeline_text_* replay the
+    # all-pairs bin join in SQL); the seed-label target side is structurally
+    # small at every sf — fail loudly if that ever stops holding
+    best = _blocked_top1(mentions, targets, expect_small_targets=True)
     doc_links = (
         surfaces.join(F.broadcast(best), "span")
         .groupBy("doc_id")
@@ -736,7 +756,9 @@ def label_alias_embedding_rl(te_docs: DataFrame, ontology: DataFrame) -> DataFra
     mentions = surfaces.select(F.col("span").alias("id")).distinct().withColumn(
         "text", normalize_label(F.col("id"))
     )
-    best = _blocked_top1(mentions, props)
+    # oracle-backed (kg_relation_link_top1 replays the bin join in SQL);
+    # ontology property tables are structurally small at every sf
+    best = _blocked_top1(mentions, props, expect_small_targets=True)
     doc_links = (
         surfaces.join(F.broadcast(best), "span")
         .groupBy("doc_id")

@@ -49,7 +49,7 @@ def get_spark(
     # session (getOrCreate) is unaffected.
     gc_opts = ""
     m = re.fullmatch(r"local\[(\d+)\]", master)
-    if m and int(m.group(1)) < os.cpu_count():
+    if m and int(m.group(1)) < (os.cpu_count() or 1):
         n = int(m.group(1))
         gc_opts = f"-XX:ParallelGCThreads={n} -XX:ConcGCThreads={max(1, n // 4)}"
 

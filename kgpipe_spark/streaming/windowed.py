@@ -32,8 +32,16 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window_length), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total"),
+            # decimal-accumulate then quantize to 1e-4: bit-identical across
+            # engines (float sums differ in the last ulp between Spark's
+            # partial-agg tree and DuckDB's sequential sum)
+            (F.sum(F.col("value").cast("decimal(20,4)")) * 10000)
+            .cast("long")
+            .cast("double")
+            .alias("_t"),
         )
+        .withColumn("total", F.col("_t") / F.lit(10000.0))
+        .drop("_t")
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),

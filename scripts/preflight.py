@@ -52,6 +52,36 @@ def main() -> int:
     if stale:
         errors.append(f"_RECORD_FIRST names not registered: {stale}")
 
+    rf = entrymod._RECORD_FIRST
+    dupes = sorted({n for n in rf if rf.count(n) > 1})
+    if dupes:
+        errors.append(f"_RECORD_FIRST duplicates (they shrink the 50-slot window): {dupes}")
+
+    # every registration must have a driver verdict at least once: either in
+    # a past CORRECTNESS_r*.json or inside the current first-50 window
+    import glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded_ever: set = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            recorded_ever |= set(_json.load(open(p)))
+        except Exception:
+            pass
+    window = set(list(queries)[:50])
+    never = sorted(set(queries) - recorded_ever - window)
+    if never:
+        errors.append(
+            f"{len(never)} registrations never driver-recorded and outside the "
+            f"first-50 window: {never}"
+        )
+    if len(set(rf)) > 50:
+        print(
+            f"WARN: _RECORD_FIRST holds {len(set(rf))} names for a 50-slot "
+            "window; trailing prioritized names will not be recorded this round"
+        )
+
     for name, fn in queries.items():
         if not callable(fn):
             errors.append(f"queries()[{name!r}] is not callable")

@@ -123,3 +123,42 @@ def test_write_te_json_roundtrip(spark, tmp_path):
     assert {tuple(map(str, r)) for r in back.collect()} == {
         tuple(map(str, r)) for r in te.collect()
     }
+
+
+def test_iceberg_seam_parquet_fallback(spark, tmp_path):
+    """write_table/read_table degrade to parquet-dir + properties sidecar
+    when no Iceberg catalog is configured (this sandbox), preserving the
+    DataSet->table-properties mapping (reference data.py:78-101)."""
+    from kgpipe_spark.sources.iceberg import (
+        dataset_properties,
+        is_catalog_table,
+        read_table,
+        read_table_properties,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [("e1", "p", "v", "literal"), ("e2", "p", "u", "uri")],
+        "subject string, predicate string, object_lex string, object_kind string",
+    )
+    tbl = str(tmp_path / "kg_tbl")
+    props = dataset_properties(
+        dataset_id="ds-1", name="seed_kg", fmt="iceberg",
+        description="seed", metadata={"sf": 0.001, "stage": "fuse"},
+    )
+    assert not is_catalog_table(spark, tbl)  # path → fallback
+    assert not is_catalog_table(spark, "cat.db.tbl")  # no catalog conf → fallback
+
+    write_table(df, tbl, mode="overwrite", properties=props, partition_by=["object_kind"])
+    back = read_table(spark, tbl)
+    assert back.count() == 2
+    assert set(back.columns) == set(df.columns)
+    got = read_table_properties(spark, tbl)
+    assert got["kgpipe.name"] == "seed_kg"
+    assert got["kgpipe.meta.sf"] == "0.001"
+
+    # append mode merges properties and adds rows
+    write_table(df, tbl, mode="append", properties={"kgpipe.meta.round": "5"})
+    assert read_table(spark, tbl).count() == 4
+    merged = read_table_properties(spark, tbl)
+    assert merged["kgpipe.id"] == "ds-1" and merged["kgpipe.meta.round"] == "5"
