@@ -37,15 +37,15 @@ from kgpipe_spark.session import get_spark
 spark = get_spark(master="local[{cores}]", shuffle_partitions=8)
 spark.range(1000000).selectExpr("sum(id)").collect()
 t0 = time.time()
-spark.range(80_000_000).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
+spark.range({rows}).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
 print('{{"calib_sec": %.2f}}' % (time.time() - t0))
 spark.stop()
 """
 
 
-def calib(cores: int) -> float:
+def calib(cores: int, rows: int = 80_000_000) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", _CALIB.format(cores=cores)],
+        [sys.executable, "-c", _CALIB.format(cores=cores, rows=rows)],
         capture_output=True, text=True, cwd=REPO, timeout=900,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -68,9 +68,24 @@ def main() -> int:
     attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     min_ceiling = float(sys.argv[3]) if len(sys.argv) > 3 else 3.1
 
+    fast_min = min_ceiling - 0.1  # tier-1 admission, confirmed by full calib
+
     for i in range(attempts):
         rec = {"attempt": i, "t": time.strftime("%H:%M:%S"),
                "loadavg": round(os.getloadavg()[0], 2)}
+        # tier-1: cheap probe (~80 s round trip vs ~5.5 min full calib) so
+        # the hunt samples the host's multi-minute quality windows ~3x more
+        # often; a full calib still gates the actual fire decision.
+        f2, f8 = calib(2, 16_000_000), calib(8, 16_000_000)
+        rec["fast_2"], rec["fast_8"] = f2, f8
+        rec["fast_ceiling"] = round(f2 / f8, 3)
+        if rec["fast_ceiling"] < fast_min:
+            rec["action"] = "skip (fast probe below threshold)"
+            with open(LOG, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+            time.sleep(45)
+            continue
         c2, c8 = calib(2), calib(8)
         rec["calib_2"], rec["calib_8"] = c2, c8
         rec["ceiling"] = round(c2 / c8, 3)
@@ -79,7 +94,7 @@ def main() -> int:
             with open(LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(json.dumps(rec), flush=True)
-            time.sleep(120)
+            time.sleep(60)
             continue
 
         # good window: fire the full interleaved best-of-2 pair (the same
