@@ -8,7 +8,9 @@ Mirrors the reference's execution model without its file-format planner:
  - "skip task if outputs exist" (`task.py:114-117`, `pipeline.py:305-318`) →
    skip stage if a parquet snapshot for (chain_hash) exists.
  - ``exec-plan.json`` / ``exec-report.json`` (`helpers.py:100-130`) →
-   ``manifest.json`` rows with stage, key, row counts, duration, partitions
+   ``manifest.json`` rows with stage, key, row counts, duration, partitions,
+   and a per-partition skew summary; the full per-partition row histogram of
+   each materialized snapshot goes to a ``lineage-{key}.json`` sidecar
    (the north rule's per-partition lineage + metrics).
 """
 
@@ -23,6 +25,13 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# lineage sidecars list one (partition_id, rows) entry per non-empty
+# partition; cap the JSON at this many entries (a 200k-partition stage on a
+# 1000-executor cluster would otherwise write multi-MB sidecars) — the skew
+# summary in the manifest is always computed over ALL partitions first.
+_LINEAGE_MAX_PARTITIONS = 65_536
 
 
 def fingerprint_parquet_dir(path: str) -> str:
@@ -92,6 +101,39 @@ class Pipeline:
         assert self.checkpoint_dir
         return os.path.join(self.checkpoint_dir, f"stage-{key}.parquet")
 
+    def _partition_lineage(self, df: DataFrame, key: str) -> tuple[int, dict]:
+        """One aggregation job per stage (replaces the plain count): per-
+        partition row counts of the materialized snapshot. Collect size is
+        bounded by the partition count, not the data. Returns (total_rows,
+        skew summary) and writes the full histogram to a lineage sidecar."""
+        pp = sorted(
+            (r["pid"], r["rows"])
+            for r in df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        counts = [rows for _, rows in pp]
+        total = sum(counts)
+        mean = total / len(counts) if counts else 0.0
+        summary = {
+            "non_empty": len(counts),
+            "min_rows": min(counts) if counts else 0,
+            "max_rows": max(counts) if counts else 0,
+            "mean_rows": round(mean, 1),
+            "skew_ratio": round(max(counts) / mean, 2) if counts and mean else 1.0,
+        }
+        if self.checkpoint_dir:
+            sidecar = {
+                "stage_key": key,
+                "rows": total,
+                "summary": summary,
+                "truncated": len(pp) > _LINEAGE_MAX_PARTITIONS,
+                "partition_rows": pp[:_LINEAGE_MAX_PARTITIONS],
+            }
+            with open(os.path.join(self.checkpoint_dir, f"lineage-{key}.json"), "w") as f:
+                json.dump(sidecar, f)
+        return total, summary
+
     def run(self, df: DataFrame, input_fingerprint: str = "source") -> DataFrame:
         prev_hash = hashlib.sha256(input_fingerprint.encode()).hexdigest()[:16]
         self.report = []
@@ -102,14 +144,13 @@ class Pipeline:
             if snap and os.path.exists(snap):
                 df = self.spark.read.parquet(snap)
                 status = "skipped"
-                n_rows = df.count()
             else:
                 df = stage.fn(df)
                 if snap:
                     df.write.mode("overwrite").parquet(snap)
                     df = self.spark.read.parquet(snap)
                 status = "done"
-                n_rows = df.count()
+            n_rows, partition_summary = self._partition_lineage(df, key)
             self.report.append(
                 {
                     "stage": stage.name,
@@ -117,6 +158,7 @@ class Pipeline:
                     "status": status,
                     "rows": n_rows,
                     "partitions": df.rdd.getNumPartitions(),
+                    "partition_rows": partition_summary,
                     "duration_sec": round(time.time() - t0, 3),
                     "config": stage.config,
                 }

@@ -64,6 +64,42 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert [r["status"] for r in p3.report] == ["skipped", "done"]
 
 
+def test_pipeline_per_partition_lineage(spark, tmp_path):
+    """Each stage records a per-partition row histogram (lineage sidecar) and
+    a skew summary in the manifest — the north rule's per-partition lineage.
+    The summary must be internally consistent with the total row count, and
+    the sidecar histogram must sum to it."""
+    import json as _json
+
+    df = spark.range(1000).repartition(8).withColumnRenamed("id", "n")
+    stages = [Stage("identity", lambda d: d)]
+    p = Pipeline(spark, stages, checkpoint_dir=str(tmp_path))
+    p.run(df)
+
+    rep = p.report[0]
+    ps = rep["partition_rows"]
+    assert rep["rows"] == 1000
+    assert ps["non_empty"] >= 1
+    assert ps["min_rows"] <= ps["mean_rows"] <= ps["max_rows"]
+    assert ps["skew_ratio"] >= 1.0
+
+    sidecar_path = os.path.join(str(tmp_path), f"lineage-{rep['key']}.json")
+    assert os.path.exists(sidecar_path)
+    with open(sidecar_path) as f:
+        sidecar = _json.load(f)
+    assert sidecar["rows"] == 1000
+    assert not sidecar["truncated"]
+    assert sum(rows for _pid, rows in sidecar["partition_rows"]) == 1000
+    assert len(sidecar["partition_rows"]) == ps["non_empty"]
+
+    # a resumed (skipped) stage still reports lineage for its snapshot
+    p2 = Pipeline(spark, stages, checkpoint_dir=str(tmp_path))
+    p2.run(df)
+    assert p2.report[0]["status"] == "skipped"
+    assert p2.report[0]["rows"] == 1000
+    assert "partition_rows" in p2.report[0]
+
+
 def test_flagship_hot_label_star_edges_bounded(spark):
     """A hot normalized label (many same-label entities) must produce LINEAR
     star edges feeding CC, not a quadratic self-join (round-1 verdict #5)."""
