@@ -60,7 +60,14 @@ def connected_components(
         # whole unmaterialized upstream
         edges = edges.localCheckpoint(eager=True)
     if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_threshold):
-        rows = edges.select("src", "dst").collect()
+        import pandas as pd
+
+        # Arrow both ways: toPandas() batches the edge list across (vs the
+        # pickle row path of collect()), and createDataFrame(pandas) ships
+        # the mapping back as Arrow batches — at the 200k-edge ceiling this
+        # cuts several seconds of SERIAL driver time, which an N-vs-4N
+        # scaling pair pays at both levels
+        pdf = edges.select("src", "dst").toPandas()
         parent: dict = {}
 
         def find(x):
@@ -72,8 +79,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            ra, rb = find(r["src"]), find(r["dst"])
+        for a, b in zip(pdf["src"].values, pdf["dst"].values):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 if rb < ra:
                     ra, rb = rb, ra
@@ -82,7 +89,9 @@ def connected_components(
         spark = edges.sparkSession
         if not out:
             return spark.createDataFrame([], "node string, component string")
-        return spark.createDataFrame(out, ["node", "component"])
+        return spark.createDataFrame(
+            pd.DataFrame(out, columns=["node", "component"]).astype("string")
+        )
     return _connected_components_distributed(edges, max_iter)
 
 

@@ -129,12 +129,22 @@ def main() -> int:
             "trials_N_sec", "trials_4N_sec", "triples") if k in report})
         if "hw_ceiling_speedup_post" in report:
             rec["hw_ceiling_speedup_post"] = report["hw_ceiling_speedup_post"]
-        rec["action"] = "measured"
+        # plausibility guard: a >4x N→4N speedup is physically impossible on
+        # a fair measurement (super-linear here means the N leg ate a slow
+        # stretch or a co-tenant burst that the 4N leg missed — attempt 15 on
+        # 2026-08-18 read "1.55 efficiency" exactly this way). A win needs
+        # raw in [0.8, 1.02]; anything above is a measurement artifact.
+        raw = report["scaling_efficiency_raw"]
+        rec["action"] = (
+            "measured (rejected: super-linear, N leg degraded mid-pair)"
+            if raw > 1.02
+            else "measured"
+        )
         with open(LOG, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
 
-        if report["scaling_efficiency_raw"] >= 0.8:
+        if 0.8 <= raw <= 1.02:
             # record the win: per-stage diagnostic pass (window quality no
             # longer matters — it attributes residue, it isn't the headline),
             # then render the markdown from the exact winning report
