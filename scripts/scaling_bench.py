@@ -33,7 +33,10 @@ _CALIBRATE_SNIPPET = """
 import time
 from kgpipe_spark.session import get_spark
 spark = get_spark(master="local[{cores}]", shuffle_partitions=8)
-spark.range(1000000).selectExpr("sum(id)").collect()
+# warm the EXACT timed expression (sha2+cast codegen/JIT): an unwarmed hash
+# path costs ~2s of constant per-job time, which reads as serial and
+# deflates the measured ceiling more at the higher core count
+spark.range(2_000_000).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
 t0 = time.time()
 spark.range(40_000_000).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
 print('{{"calib_sec": %.2f}}' % (time.time() - t0))

@@ -35,7 +35,12 @@ _CALIB = """
 import time
 from kgpipe_spark.session import get_spark
 spark = get_spark(master="local[{cores}]", shuffle_partitions=8)
-spark.range(1000000).selectExpr("sum(id)").collect()
+# warm the EXACT timed expression — an unwarmed sha2 path adds ~2s of
+# constant per-job JIT that reads as serial time and caps the measurable
+# ceiling of a short probe near 1.5x even on an idle host (observed
+# 2026-08-18: 30/30 probe skips while a direct multiprocessing burn showed
+# ~0.97 weak-scaling efficiency on the same box)
+spark.range(2_000_000).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
 t0 = time.time()
 spark.range({rows}).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
 print('{{"calib_sec": %.2f}}' % (time.time() - t0))
