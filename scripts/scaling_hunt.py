@@ -73,25 +73,37 @@ def main() -> int:
     attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     min_ceiling = float(sys.argv[3]) if len(sys.argv) > 3 else 3.1
 
-    fast_min = min_ceiling - 0.1  # tier-1 admission, confirmed by full calib
+    # tier-1 admission: the short probe is noisier than the full calib, so
+    # admit a little below the target and let the full calib make the call
+    fast_min = min_ceiling - 0.2
+    # tier-1 probe size is host-relative: on the round-4 box 16M rows took
+    # ~80 s round trip, but a fresh placement measured 3.4x slower per core
+    # (fast_2 = 222.8 s), turning the "cheap" filter into a 5.5-min gate
+    # that samples the multi-minute good windows worse than the full calib
+    # it was meant to shield. 4M rows keeps the 2-core leg near a minute on
+    # the slow placement while staying far above JVM/job-constant noise.
+    fast_rows = int(os.environ.get("HUNT_FAST_ROWS", "4000000"))
 
     for i in range(attempts):
         rec = {"attempt": i, "t": time.strftime("%H:%M:%S"),
                "loadavg": round(os.getloadavg()[0], 2)}
-        # tier-1: cheap probe (~80 s round trip vs ~5.5 min full calib) so
-        # the hunt samples the host's multi-minute quality windows ~3x more
-        # often; a full calib still gates the actual fire decision.
-        f2, f8 = calib(2, 16_000_000), calib(8, 16_000_000)
+        # tier-1: cheap probe so the hunt samples the host's multi-minute
+        # quality windows often; a full calib still gates the fire decision.
+        f2, f8 = calib(2, fast_rows), calib(8, fast_rows)
         rec["fast_2"], rec["fast_8"] = f2, f8
+        rec["fast_rows"] = fast_rows
         rec["fast_ceiling"] = round(f2 / f8, 3)
         if rec["fast_ceiling"] < fast_min:
             rec["action"] = "skip (fast probe below threshold)"
             with open(LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(json.dumps(rec), flush=True)
-            time.sleep(45)
+            time.sleep(30)
             continue
-        c2, c8 = calib(2), calib(8)
+        # confirmation calib: 3x the tier-1 size (not the old 80M, which is
+        # an ~18-min 2-core leg on the slow placement — the window would be
+        # gone before the confirmation finished)
+        c2, c8 = calib(2, 3 * fast_rows), calib(8, 3 * fast_rows)
         rec["calib_2"], rec["calib_8"] = c2, c8
         rec["ceiling"] = round(c2 / c8, 3)
         if rec["ceiling"] < min_ceiling:
