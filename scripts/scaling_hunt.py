@@ -32,29 +32,70 @@ LOG = "/tmp/scaling_hunt.jsonl"
 WIN = "/tmp/scaling_win.json"
 
 _CALIB = """
-import time
+import json, time
 from kgpipe_spark.session import get_spark
 spark = get_spark(master="local[{cores}]", shuffle_partitions=8)
+def burn(n):
+    t0 = time.time()
+    spark.range(n).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
+    return time.time() - t0
 # warm the EXACT timed expression — an unwarmed sha2 path adds ~2s of
 # constant per-job JIT that reads as serial time and caps the measurable
-# ceiling of a short probe near 1.5x even on an idle host (observed
-# 2026-08-18: 30/30 probe skips while a direct multiprocessing burn showed
-# ~0.97 weak-scaling efficiency on the same box)
-spark.range(2_000_000).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
-t0 = time.time()
-spark.range({rows}).selectExpr("max(sha2(cast(id as string), 256)) m").collect()
-print('{{"calib_sec": %.2f}}' % (time.time() - t0))
+# ceiling of a short probe near 1.5x even on an idle host
+burn(2_000_000)
+# per-job scheduling constant, subtracted from samples; min-of-3 because a
+# single burn(1000) can land in a co-tenant burst and read seconds, which
+# would push every corrected sample to the 0.01 clamp
+ovh = min(burn(1000) for _ in range(3))
+rows = {rows}
+if rows <= 0:
+    # auto-size so one sample runs ~{target}s at THIS level on THIS
+    # placement (observed idle-vs-stolen throughput varies ~100x here:
+    # 4M rows on 2 cores read 104.6s and 0.25s within one minute)
+    rate = 4_000_000 / max(burn(4_000_000) - ovh, 0.05)
+    rows = int(min(max(rate * {target}, 4_000_000), 600_000_000))
+samples = [round(max(burn(rows) - ovh, 0.01), 2) for _ in range({n})]
+print(json.dumps({{"rows": rows, "samples": samples, "ovh": round(ovh, 2)}}))
 spark.stop()
 """
 
 
-def calib(cores: int, rows: int = 80_000_000) -> float:
+def calib_samples(cores: int, rows: int, n: int = 3, target: int = 20) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CALIB.format(cores=cores, rows=rows)],
+        [sys.executable, "-c",
+         _CALIB.format(cores=cores, rows=rows, n=n, target=target)],
         capture_output=True, text=True, cwd=REPO, timeout=900,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["calib_sec"]
+    return json.loads(line)
+
+
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def probe_window(n: int = 3) -> dict:
+    """Median-of-n two-level ceiling probe with intra-level stability.
+
+    Single-shot probes are useless on this host: co-tenant bursts swing
+    sha2 throughput ~10x within a minute (observed 22:13: 4M/2-core in
+    21.9s, then 12M/2-core in 3.97s, then 12M/8-core in 7.34s). A fair
+    pair needs a QUIET window, so the probe reports both the ratio of
+    medians and each level's max/min sample spread — a bursty window
+    fails the spread check regardless of its ratio.
+    """
+    r2 = calib_samples(2, rows=-1, n=n)          # auto-sized ~20 s/sample
+    r8 = calib_samples(8, rows=r2["rows"], n=n)  # SAME rows, same work
+    m2, m8 = _median(r2["samples"]), _median(r8["samples"])
+    return {
+        "rows": r2["rows"],
+        "samples_2": r2["samples"],
+        "samples_8": r8["samples"],
+        "ceiling": round(m2 / max(m8, 0.01), 3),
+        "spread_2": round(max(r2["samples"]) / max(min(r2["samples"]), 0.01), 2),
+        "spread_8": round(max(r8["samples"]) / max(min(r8["samples"]), 0.01), 2),
+    }
 
 
 def stage_pass(cores: int, rows: int) -> dict:
@@ -73,45 +114,27 @@ def main() -> int:
     attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     min_ceiling = float(sys.argv[3]) if len(sys.argv) > 3 else 3.1
 
-    # tier-1 admission: the short probe is noisier than the full calib, so
-    # admit a little below the target and let the full calib make the call
-    fast_min = min_ceiling - 0.2
-    # tier-1 probe size is host-relative: on the round-4 box 16M rows took
-    # ~80 s round trip, but a fresh placement measured 3.4x slower per core
-    # (fast_2 = 222.8 s), turning the "cheap" filter into a 5.5-min gate
-    # that samples the multi-minute good windows worse than the full calib
-    # it was meant to shield. 4M rows keeps the 2-core leg near a minute on
-    # the slow placement while staying far above JVM/job-constant noise.
-    fast_rows = int(os.environ.get("HUNT_FAST_ROWS", "4000000"))
+    max_spread = float(os.environ.get("HUNT_MAX_SPREAD", "1.3"))
 
     for i in range(attempts):
         rec = {"attempt": i, "t": time.strftime("%H:%M:%S"),
                "loadavg": round(os.getloadavg()[0], 2)}
-        # tier-1: cheap probe so the hunt samples the host's multi-minute
-        # quality windows often; a full calib still gates the fire decision.
-        f2, f8 = calib(2, fast_rows), calib(8, fast_rows)
-        rec["fast_2"], rec["fast_8"] = f2, f8
-        rec["fast_rows"] = fast_rows
-        rec["fast_ceiling"] = round(f2 / f8, 3)
-        if rec["fast_ceiling"] < fast_min:
-            rec["action"] = "skip (fast probe below threshold)"
+        rec.update(probe_window())
+        c2 = _median(rec["samples_2"])
+        c8 = _median(rec["samples_8"])
+        skip = None
+        if rec["spread_2"] > max_spread or rec["spread_8"] > max_spread:
+            skip = "skip (bursty window: intra-level spread too high)"
+        elif rec["ceiling"] > 4.3:
+            skip = "skip (implausible >4.3x ceiling: a probe leg was stolen)"
+        elif rec["ceiling"] < min_ceiling:
+            skip = "skip (window below ceiling threshold)"
+        if skip:
+            rec["action"] = skip
             with open(LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(json.dumps(rec), flush=True)
             time.sleep(30)
-            continue
-        # confirmation calib: 3x the tier-1 size (not the old 80M, which is
-        # an ~18-min 2-core leg on the slow placement — the window would be
-        # gone before the confirmation finished)
-        c2, c8 = calib(2, 3 * fast_rows), calib(8, 3 * fast_rows)
-        rec["calib_2"], rec["calib_8"] = c2, c8
-        rec["ceiling"] = round(c2 / c8, 3)
-        if rec["ceiling"] < min_ceiling:
-            rec["action"] = "skip (window below ceiling threshold)"
-            with open(LOG, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            print(json.dumps(rec), flush=True)
-            time.sleep(60)
             continue
 
         # good window: fire ONE pair with minimal exposure — the host's good
