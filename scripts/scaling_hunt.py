@@ -54,6 +54,11 @@ if rows <= 0:
     # 4M rows on 2 cores read 104.6s and 0.25s within one minute)
     rate = 4_000_000 / max(burn(4_000_000) - ovh, 0.05)
     rows = int(min(max(rate * {target}, 4_000_000), 600_000_000))
+# one untimed burn at the FULL sample size: the first big-allocation run
+# pays JVM heap growth + hypervisor first-touch page faults (measured: the
+# first sample reads 2-10x slower than the rest at BOTH levels, every
+# attempt) — that cost is a one-time constant, not window throughput
+burn(rows)
 samples = [round(max(burn(rows) - ovh, 0.01), 2) for _ in range({n})]
 print(json.dumps({{"rows": rows, "samples": samples, "ovh": round(ovh, 2)}}))
 spark.stop()
@@ -148,7 +153,12 @@ def main() -> int:
             os.environ,
             SCALING_SKIP_STAGES="1",
             SCALING_NO_MD="1",
-            SCALING_WARM_ROWS=str(max(rows // 8, 20_000)),
+            # full-size warm: a reduced warm corpus leaves the timed run's
+            # first-big-allocation cost (heap growth + hypervisor
+            # first-touch faults, measured 2-10x on first samples) inside
+            # the timed leg as serial time; env-overridable if windows on a
+            # given placement are too short for double exposure
+            SCALING_WARM_ROWS=os.environ.get("HUNT_WARM_ROWS", str(rows)),
             SCALING_PRE_CALIB=json.dumps({"c2": c2, "c8": c8}),
         )
         # write the pair's report to a file, not a pipe: if this parent dies
