@@ -164,6 +164,19 @@ def main() -> None:
         "stage_times_4N": stages_n4,
         "trials_N_sec": [r["duration_sec"] for r in pipe[N_CORES]],
         "trials_4N_sec": [r["duration_sec"] for r in pipe[N4_CORES]],
+        # paired-trial ratios: trial i's N leg vs trial i's 4N leg ran
+        # back-to-back inside the same host-quality slice, so on a drifting
+        # host the per-trial ratio is the drift-robust statistic (the same
+        # rationale as interleaving); the headline min-per-level mixes the
+        # best N and best 4N across slices and can read lower OR higher
+        "per_trial_speedup": [
+            round(a["duration_sec"] / b["duration_sec"], 3)
+            for a, b in zip(pipe[N_CORES], pipe[N4_CORES])
+        ],
+        "per_trial_efficiency_raw": [
+            round(a["duration_sec"] / b["duration_sec"] / 4.0, 3)
+            for a, b in zip(pipe[N_CORES], pipe[N4_CORES])
+        ],
         "calib_N_sec": calib[N_CORES],
         "calib_4N_sec": calib[N4_CORES],
         "loadavg": [round(loadavg_start, 2), round(os.getloadavg()[0], 2)],
