@@ -108,6 +108,21 @@ def main() -> None:
     # likely to land inside the same host window the gate probe qualified),
     # and bracket the window with ONE post-pair calibration instead.
     pre = os.environ.get("SCALING_PRE_CALIB")
+    # SCALING_ORDER=4n_first runs the wide leg before the narrow one inside
+    # each trial. With trials=1 there is no interleave to preserve, and the
+    # ordering is load-bearing on this host: CPU delivery is burst-credit
+    # shaped (BENCH/BASELINE.md round-5 hunt — an 8-wide minutes-scale leg
+    # only hits its fast mode when the pool is full, while the 2-wide leg is
+    # baseline-bound and read 358.9-552.7 s regardless of position). Running
+    # the wide leg first gives both legs comparable pool states instead of
+    # systematically handing the narrow leg the refilled pool; the pre/post
+    # calibration bracket and the super-linear guard (raw must be ≤ 1.02)
+    # still police a drifting window either way.
+    level_order = (
+        [N4_CORES, N_CORES]
+        if os.environ.get("SCALING_ORDER") == "4n_first"
+        else [N_CORES, N4_CORES]
+    )
     pipe: dict[int, list[dict]] = {N_CORES: [], N4_CORES: []}
     calib: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
     calib_post: dict[int, float] = {}
@@ -116,16 +131,16 @@ def main() -> None:
         calib[N_CORES].append(float(pc["c2"]))
         calib[N4_CORES].append(float(pc["c8"]))
         for _ in range(TRIALS):
-            pipe[N_CORES].append(run_pipeline_level(N_CORES, rows))
-            pipe[N4_CORES].append(run_pipeline_level(N4_CORES, rows))
+            for lvl in level_order:
+                pipe[lvl].append(run_pipeline_level(lvl, rows))
         calib_post[N_CORES] = run_calibration(N_CORES)
         calib_post[N4_CORES] = run_calibration(N4_CORES)
     else:
         for _ in range(TRIALS):
             calib[N_CORES].append(run_calibration(N_CORES))
             calib[N4_CORES].append(run_calibration(N4_CORES))
-            pipe[N_CORES].append(run_pipeline_level(N_CORES, rows))
-            pipe[N4_CORES].append(run_pipeline_level(N4_CORES, rows))
+            for lvl in level_order:
+                pipe[lvl].append(run_pipeline_level(lvl, rows))
 
     n = min(pipe[N_CORES], key=lambda r: r["duration_sec"])
     n4 = min(pipe[N4_CORES], key=lambda r: r["duration_sec"])
@@ -177,6 +192,7 @@ def main() -> None:
             round(a["duration_sec"] / b["duration_sec"] / 4.0, 3)
             for a, b in zip(pipe[N_CORES], pipe[N4_CORES])
         ],
+        "leg_order": "4N,N" if level_order[0] == N4_CORES else "N,4N",
         "calib_N_sec": calib[N_CORES],
         "calib_4N_sec": calib[N4_CORES],
         "loadavg": [round(loadavg_start, 2), round(os.getloadavg()[0], 2)],
@@ -257,8 +273,8 @@ relevant number.
 |---|---|
 | corpus rows | {rows:,} |
 | emitted triples | {report['triples']:,} |
-| N = local[{N_CORES}] wall-clock (best of {TRIALS}, interleaved) | {report['T_N_sec']} s |
-| 4N = local[{N4_CORES}] wall-clock (best of {TRIALS}, interleaved) | {report['T_4N_sec']} s |
+| N = local[{N_CORES}] wall-clock (best of {TRIALS}, leg order {report.get('leg_order', 'N,4N')}) | {report['T_N_sec']} s |
+| 4N = local[{N4_CORES}] wall-clock (best of {TRIALS}, leg order {report.get('leg_order', 'N,4N')}) | {report['T_4N_sec']} s |
 | throughput @ N | {report['throughput_N']:,} triples/s |
 | throughput @ 4N | {report['throughput_4N']:,} triples/s |
 | pipeline speedup N→4N | {report['speedup']}× |

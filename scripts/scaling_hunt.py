@@ -170,6 +170,16 @@ def main() -> int:
             # given placement are too short for double exposure
             SCALING_WARM_ROWS=os.environ.get("HUNT_WARM_ROWS", str(rows)),
             SCALING_PRE_CALIB=json.dumps({"c2": c2, "c8": c8}),
+            # wide leg first by default: CPU delivery here is burst-credit
+            # shaped, and the narrow leg would otherwise always consume the
+            # refilled pool before the 8-wide leg starts (see the ordering
+            # note in scaling_bench.py); HUNT_ORDER=n_first restores the old
+            # ordering
+            SCALING_ORDER=(
+                "4n_first"
+                if os.environ.get("HUNT_ORDER", "4n_first") == "4n_first"
+                else "n_first"
+            ),
         )
         # write the pair's report to a file, not a pipe: if this parent dies
         # mid-fire, the orphaned measurement must still be recoverable.
