@@ -13,7 +13,11 @@ bench:
 # bench JSON in the repo so the judge can diff the driver's (possibly
 # contended) window against a known-quiet one without rerunning
 bench-local:
-	python bench.py 2>/dev/null | tail -1 > BENCH_LOCAL.json
+	# pipefail-equivalent: write to a temp file first so a crashing bench
+	# run fails the target instead of committing a truncated artifact
+	python bench.py 2>/dev/null | tail -1 > BENCH_LOCAL.json.tmp
+	python -c "import json; json.load(open('BENCH_LOCAL.json.tmp'))"
+	mv BENCH_LOCAL.json.tmp BENCH_LOCAL.json
 	cat BENCH_LOCAL.json
 
 scaling:

@@ -2638,7 +2638,10 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         query.awaitTermination()
         return (
             s.read.parquet(out_dir)
-            .filter(F.col("event_type") != "__sentinel__")
+            # null-safe: a plain != would also drop NULL event_type groups
+            # that the oracle's GROUP BY keeps (the sentinel's own window
+            # never closes, so this filter is belt-and-braces anyway)
+            .filter(~F.col("event_type").eqNullSafe("__sentinel__"))
             .select(
                 F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),

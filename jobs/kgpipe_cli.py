@@ -120,7 +120,9 @@ def cmd_discover(args: argparse.Namespace) -> int:
     for mod_info in pkgutil.walk_packages(pkg_path, prefix="kgpipe_spark."):
         try:
             mod = importlib.import_module(mod_info.name)
-        except ImportError as e:  # optional deps ([ml] seam) stay listable
+        except Exception as e:  # optional deps ([ml] seam) stay listable
+            # any import-time failure (not just ImportError: env-dependent
+            # shims can raise RuntimeError/OSError) is recorded, not fatal
             found.append({"module": mod_info.name, "function": None,
                           "line": None, "description": f"(import gated: {e})"})
             continue

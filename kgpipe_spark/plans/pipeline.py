@@ -134,6 +134,15 @@ class Pipeline:
                 json.dump(sidecar, f)
         return total, summary
 
+    def _load_lineage(self, df: DataFrame, key: str) -> tuple[int, dict]:
+        if self.checkpoint_dir:
+            sidecar = os.path.join(self.checkpoint_dir, f"lineage-{key}.json")
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    rec = json.load(f)
+                return rec["rows"], rec["summary"]
+        return df.count(), {}
+
     def run(self, df: DataFrame, input_fingerprint: str = "source") -> DataFrame:
         prev_hash = hashlib.sha256(input_fingerprint.encode()).hexdigest()[:16]
         self.report = []
@@ -150,7 +159,14 @@ class Pipeline:
                     df.write.mode("overwrite").parquet(snap)
                     df = self.spark.read.parquet(snap)
                 status = "done"
-            n_rows, partition_summary = self._partition_lineage(df, key)
+            if status == "skipped":
+                # resume stays cheap: the lineage sidecar was written when the
+                # stage ran, so reload it instead of re-scanning the snapshot;
+                # a missing sidecar (pre-lineage checkpoint dir) falls back to
+                # a metadata-only parquet count, never a full aggregation
+                n_rows, partition_summary = self._load_lineage(df, key)
+            else:
+                n_rows, partition_summary = self._partition_lineage(df, key)
             self.report.append(
                 {
                     "stage": stage.name,

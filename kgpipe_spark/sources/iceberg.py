@@ -93,8 +93,12 @@ def write_table(
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "overwrite":
             w.createOrReplace()
+        elif not df.sparkSession.catalog.tableExists(table):
+            # DataFrameWriterV2.append() never creates (and partitionedBy
+            # only applies to create ops): first write must be create()
+            w.create()
         else:
-            w.append()  # creates on first append via CREATE TABLE semantics
+            w.append()
         return
     existing: Dict[str, str] = {}
     sidecar = os.path.join(table, _PROPS_SIDECAR)
@@ -104,18 +108,27 @@ def write_table(
     # a table's partition spec is fixed at creation (Iceberg semantics):
     # appends reuse the recorded spec so partitioned and flat files never mix
     # in one directory (which breaks parquet partition discovery)
-    if partition_by is None and existing.get("kgpipe.partition_by"):
-        partition_by = existing["kgpipe.partition_by"].split(",")
+    recorded = existing.get("kgpipe.partition_by", "")
+    recorded_spec = recorded.split(",") if recorded else []
+    if partition_by is None:
+        partition_by = recorded_spec
+    elif existing and list(partition_by) != recorded_spec:
+        # the sidecar exists, so the table was already created with a spec
+        # (possibly flat); a differing explicit spec would mix layouts
+        raise ValueError(
+            f"partition spec is fixed at creation: table {table!r} was "
+            f"created with partition_by={recorded_spec!r}, append "
+            f"requested {list(partition_by)!r}"
+        )
     writer = df.write.mode("overwrite" if mode == "overwrite" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(table)
-    if partition_by:
-        existing["kgpipe.partition_by"] = ",".join(partition_by)
+    # always record the spec (empty string = flat) so later appends validate
+    existing["kgpipe.partition_by"] = ",".join(partition_by)
     existing.update(properties or {})
-    if existing:
-        with open(sidecar, "w") as f:
-            json.dump(existing, f, indent=2, sort_keys=True)
+    with open(sidecar, "w") as f:
+        json.dump(existing, f, indent=2, sort_keys=True)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

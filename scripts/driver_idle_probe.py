@@ -109,10 +109,10 @@ def main() -> int:
     if tail >= gap_min:
         gaps.append({"idle_ms": int(tail), "after": prev_site, "before_job": "(timed-region end)"})
 
-    in_job = sum(j["end"] - j["start"] for j in timed)
     wall = t1 - t0
-    # overlapping jobs make in_job an overestimate of busy wall; idle sums
-    # the strictly-empty stretches, which is the number that matters
+    # overlapping jobs would make a sum of per-job durations an overestimate
+    # of busy wall; idle sums the strictly-empty stretches, which is the
+    # number that matters
     idle = int(wall - _union_ms(timed, t0, t1))
 
     for g in sorted(gaps, key=lambda g: -g["idle_ms"])[:20]:

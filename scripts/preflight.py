@@ -9,16 +9,24 @@ Checks (fast, no Spark unless --gate):
      "rows-only" rows; the driver contract in evidence records rows+schema+
      hash per query and nothing weaker)
   3. no orphan oracles (oracle_sql() names absent from queries())
-  4. _RECORD_FIRST names all resolve to live registrations
+  4. _RECORD_FIRST names all resolve to live registrations, no duplicates,
+     and every registration has a driver verdict at least once (a past
+     CORRECTNESS_r*.json or the current first-RECORD_WINDOW slots)
   5. with --gate [sf_dir] [budget_sec]: run the full check_oracle gate and
      fail if it exceeds the wall-time budget (default 600 s — headroom under
      host steal for a driver-side budget)
+
+The check logic lives in ``contract_errors`` / ``recorded_ever`` so
+``tests/test_contract.py`` imports THIS module instead of duplicating the
+invariants (single source of truth for the window size and artifact format).
 
 Usage: python scripts/preflight.py [--gate [sf_dir] [budget_sec]]
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import subprocess
 import sys
@@ -26,15 +34,30 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+RECORD_WINDOW = 50  # the driver records the first 50 registrations
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def main() -> int:
-    import __spark_entry__ as entrymod
 
-    errors: list[str] = []
+def recorded_ever(root: str = _ROOT) -> set:
+    """Union of query names the driver has ever recorded (CORRECTNESS_r*.json)."""
+    names: set = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            names |= set(json.load(open(p)))
+        except Exception:
+            pass
+    return names
+
+
+def contract_errors(entrymod) -> list:
+    """All contract violations for the given entry module (empty = clean)."""
+    errors: list = []
 
     for fn in ("entry", "queries", "oracle_sql"):
         if not callable(getattr(entrymod, fn, None)):
             errors.append(f"missing driver hook: {fn}()")
+    if errors:
+        return errors
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -48,38 +71,24 @@ def main() -> int:
     if orphans:
         errors.append(f"{len(orphans)} orphan oracle_sql() entries: {orphans}")
 
-    stale = sorted(set(entrymod._RECORD_FIRST) - set(queries))
+    rf = entrymod._RECORD_FIRST
+    stale = sorted(set(rf) - set(queries))
     if stale:
         errors.append(f"_RECORD_FIRST names not registered: {stale}")
-
-    rf = entrymod._RECORD_FIRST
     dupes = sorted({n for n in rf if rf.count(n) > 1})
     if dupes:
-        errors.append(f"_RECORD_FIRST duplicates (they shrink the 50-slot window): {dupes}")
+        errors.append(
+            f"_RECORD_FIRST duplicates (they shrink the {RECORD_WINDOW}-slot window): {dupes}"
+        )
 
     # every registration must have a driver verdict at least once: either in
-    # a past CORRECTNESS_r*.json or inside the current first-50 window
-    import glob
-    import json as _json
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recorded_ever: set = set()
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            recorded_ever |= set(_json.load(open(p)))
-        except Exception:
-            pass
-    window = set(list(queries)[:50])
-    never = sorted(set(queries) - recorded_ever - window)
+    # a past CORRECTNESS_r*.json or inside the current recorded window
+    window = set(list(queries)[:RECORD_WINDOW])
+    never = sorted(set(queries) - recorded_ever() - window)
     if never:
         errors.append(
             f"{len(never)} registrations never driver-recorded and outside the "
-            f"first-50 window: {never}"
-        )
-    if len(set(rf)) > 50:
-        print(
-            f"WARN: _RECORD_FIRST holds {len(set(rf))} names for a 50-slot "
-            "window; trailing prioritized names will not be recorded this round"
+            f"first-{RECORD_WINDOW} window: {never}"
         )
 
     for name, fn in queries.items():
@@ -88,9 +97,26 @@ def main() -> int:
     for name, q in oracles.items():
         if not isinstance(q, str) or not q.strip():
             errors.append(f"oracle_sql()[{name!r}] is not a non-empty string")
+    return errors
 
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    errors = contract_errors(entrymod)
+
+    rf = getattr(entrymod, "_RECORD_FIRST", [])
+    if len(set(rf)) > RECORD_WINDOW:
+        print(
+            f"WARN: _RECORD_FIRST holds {len(set(rf))} names for a "
+            f"{RECORD_WINDOW}-slot window; trailing prioritized names will "
+            "not be recorded this round"
+        )
+
+    queries = entrymod.queries() if callable(getattr(entrymod, "queries", None)) else {}
+    oracles = entrymod.oracle_sql() if callable(getattr(entrymod, "oracle_sql", None)) else {}
     print(f"{len(queries)} queries, {len(oracles)} oracles; "
-          f"{len(entrymod._RECORD_FIRST)} in the priority window")
+          f"{len(rf)} in the priority window")
 
     if "--gate" in sys.argv:
         rest = [a for a in sys.argv[sys.argv.index("--gate") + 1 :] if not a.startswith("-")]

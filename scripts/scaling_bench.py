@@ -128,8 +128,11 @@ def main() -> None:
     calib_post: dict[int, float] = {}
     if pre:
         pc = json.loads(pre)
-        calib[N_CORES].append(float(pc["c2"]))
-        calib[N4_CORES].append(float(pc["c8"]))
+        # keys are derived from the actual core pair ("c2"/"c8" for the
+        # default 2→8) so a pre-calib produced for one pair can never be
+        # silently attributed to a different argv pair (e.g. 8→32)
+        calib[N_CORES].append(float(pc[f"c{N_CORES}"]))
+        calib[N4_CORES].append(float(pc[f"c{N4_CORES}"]))
         for _ in range(TRIALS):
             for lvl in level_order:
                 pipe[lvl].append(run_pipeline_level(lvl, rows))

@@ -58,43 +58,17 @@ def test_preflight_script_passes():
     assert rc == 0
 
 
-RECORD_WINDOW = 50  # the driver records the first 50 registrations
-
-
-def _recorded_ever() -> set:
-    """Union of query names the driver has ever recorded (CORRECTNESS_r*.json)."""
-    import glob
-    import json
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set = set()
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            names |= set(json.load(open(p)))
-        except Exception:
-            pass
-    return names
-
-
-def test_record_first_has_no_duplicates():
-    """The list is load-bearing for driver evidence: a duplicate silently
-    pushes trailing prioritized names outside the 50-slot window (ADVICE r4)."""
-    rf = entrymod._RECORD_FIRST
-    dupes = sorted({n for n in rf if rf.count(n) > 1})
-    assert not dupes, f"_RECORD_FIRST duplicates: {dupes}"
-
-
-def test_every_registration_gets_a_driver_verdict():
-    """Every queries() entry must either already appear in some recorded
-    CORRECTNESS_r*.json artifact or be inside the first-50 window of the
-    CURRENT ordering (so it gets recorded this round). Catches the round-3/
-    round-4 drift where a new registration landed outside the window and
-    never received a driver verdict (ADVICE r4 medium)."""
-    ordered = list(entrymod.queries())
-    window = set(ordered[:RECORD_WINDOW])
-    never = sorted(set(ordered) - _recorded_ever() - window)
-    assert not never, (
-        f"{len(never)} registrations have never been driver-recorded and are "
-        f"outside the current first-{RECORD_WINDOW} window: {never} — "
-        "add them to the head of _RECORD_FIRST"
+def test_contract_errors_empty():
+    """Single source of truth: the dup-window and driver-verdict invariants
+    (and everything else preflight checks) live in scripts/preflight.py —
+    this test imports that logic instead of duplicating it (ADVICE r4 /
+    round-5 review: two hand-maintained copies of the window size and
+    artifact format would silently diverge)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
     )
+    import preflight
+
+    assert preflight.RECORD_WINDOW == 50
+    errors = preflight.contract_errors(entrymod)
+    assert not errors, "\n".join(errors)

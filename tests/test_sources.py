@@ -162,3 +162,21 @@ def test_iceberg_seam_parquet_fallback(spark, tmp_path):
     assert read_table(spark, tbl).count() == 4
     merged = read_table_properties(spark, tbl)
     assert merged["kgpipe.id"] == "ds-1" and merged["kgpipe.meta.round"] == "5"
+
+    # the partition spec is fixed at creation (Iceberg semantics): an append
+    # with a DIFFERENT explicit spec must be rejected, not mix layouts
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed at creation"):
+        write_table(df, tbl, mode="append", partition_by=["predicate"])
+    with pytest.raises(ValueError, match="fixed at creation"):
+        write_table(df, tbl, mode="append", partition_by=[])  # flat vs recorded
+
+    # a flat table records its (empty) spec too, so a later partitioned
+    # append is caught instead of silently splitting the directory layout
+    flat = str(tmp_path / "flat_tbl")
+    write_table(df, flat, mode="overwrite")
+    write_table(df, flat, mode="append")  # same (flat) spec: fine
+    assert read_table(spark, flat).count() == 4
+    with pytest.raises(ValueError, match="fixed at creation"):
+        write_table(df, flat, mode="append", partition_by=["object_kind"])
