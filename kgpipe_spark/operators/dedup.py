@@ -77,11 +77,18 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>) — sig[i] = min over shingles of
-    (a + i·b) mod 2^32, where (a, b) are the first two 32-bit words of
-    md5(shingle). Carter-Wegman hash family: ONE md5 per shingle instead of
-    ``num_hashes`` (16× fewer digests — the digest was the dominant cost),
-    deterministic and engine-portable (DuckDB: CAST('0x'||hex AS UBIGINT)).
+    """(doc_id, grams64 ARRAY<BIGINT>, sig ARRAY<BIGINT>) — sig[i] = min over
+    shingles of (a + i·b) mod 2^32, where (a, b) are the first two 32-bit
+    words of md5(shingle). Carter-Wegman hash family: ONE md5 per shingle
+    instead of ``num_hashes`` (16× fewer digests — the digest was the
+    dominant cost), deterministic and engine-portable (DuckDB:
+    CAST('0x'||hex AS UBIGINT)).
+
+    ``grams64`` is the doc's distinct shingle set as 64-bit xxhash64 values —
+    the lightweight proxy the verification join intersects instead of the
+    shingle strings themselves (8 bytes/shingle through the pair shuffle
+    instead of ~25; set sizes and intersections are identical barring a
+    2^-64 hash collision).
 
     The input is repartitioned first: higher-order lambda expressions are
     interpreted (not codegen'd), so this projection is CPU-bound — a narrow
@@ -93,8 +100,9 @@ def minhash_signatures(
     # ONE exchange (repartition by doc) and everything downstream is
     # partition-local: the window-lead shingle build (the higher-order
     # transform/slice lambda formulation is interpreted, ~5× slower), the
-    # per-doc distinct, the signature aggregation and the shingle-array
-    # rollup all cluster on doc_id.
+    # per-doc distinct and ONE combined signature + gram-set aggregation
+    # (min longs + collect_list → ObjectHashAggregate, no sort, no
+    # sig-vs-shingles self-join) all cluster on doc_id.
     words = (
         docs.repartition(n_part, F.col(id_col))
         .select(
@@ -112,23 +120,25 @@ def minhash_signatures(
         .distinct()  # set semantics (word_shingles is distinct) — local
     )
     # Carter-Wegman family from ONE md5 per shingle; 16 parallel MIN
-    # aggregates (no 16× row explode), map-side partials, all codegen
+    # aggregates (no 16× row explode), map-side partials
     ab = sh_rows.select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("a"),
         F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("b"),
+        F.xxhash64("s").alias("h64"),
     )
-    mins = ab.groupBy("doc_id").agg(
+    agg = ab.groupBy("doc_id").agg(
         *[
             F.min((F.col("a") + F.lit(i) * F.col("b")) % F.lit(4294967296)).alias(f"_h{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        F.collect_list("h64").alias("grams64"),
     )
-    sigs = mins.select(
-        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    return agg.select(
+        "doc_id",
+        "grams64",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    sh = sh_rows.groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
-    return sh.join(sigs, "doc_id").select("doc_id", "shingles", "sig")
 
 
 def minhash_lsh_pairs(
@@ -143,14 +153,16 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH.
 
     Candidates share at least one full band; verification computes exact
-    shingle Jaccard (array_intersect/union) and filters ≥ threshold.
+    shingle-set Jaccard (array_intersect/union over the 64-bit gram-hash
+    proxy sets — identical to string-set Jaccard barring a 2^-64 collision)
+    and filters ≥ threshold.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n).localCheckpoint(
         eager=False
     )
-    # band on (band, bucket) WITHOUT the shingle arrays — shuffling the big
-    # arrays through the 8-way band explode is the scale killer; shingles are
+    # band on (band, bucket) WITHOUT the gram arrays — shuffling the arrays
+    # through the 8-way band explode is the scale killer; gram sets are
     # joined back only for the (few) surviving candidate pairs.
     banded = sigs.select(
         "doc_id",
@@ -181,10 +193,10 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    sh = sigs.select("doc_id", "shingles")
+    sh = sigs.select("doc_id", "grams64")
     cand = cand.join(
-        sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        sh.select(F.col("doc_id").alias("id_a"), F.col("grams64").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("grams64").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
