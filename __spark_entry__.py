@@ -538,9 +538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _canonicalized(s, d):
         canon = canonical_map(connected_components(match_edges(_matches(s, d))))
+        # all-column dedupe == the 4-col dedupe here (object_datatype is a
+        # function of (predicate, object_kind) in the base triples) but
+        # plans as a pure-grouping HashAggregate instead of a
+        # first()-of-strings SortAggregate over the whole KG
         return canonicalize_triples(
             _base_triples(s, d).filter(F.col("predicate") != SKOS_ALT_LABEL), canon
-        ).dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+        ).dropDuplicates()
 
     q["kg_canonicalize_triples"] = _canonicalized
 

@@ -74,9 +74,11 @@ def type_inference_simple(triples: DataFrame, ontology: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("object_datatype"),
         )
     )
-    inferred = from_domain.unionByName(from_range).dropDuplicates(
-        ["subject", "predicate", "object_lex"]
-    )
+    # all-column dedupe: every inferred row carries object_kind='uri' and a
+    # null datatype, so deduping on all 5 columns equals the 3-col dedupe
+    # while planning as a pure-grouping HashAggregate (the subset form kept
+    # first()-of-strings for the other columns — a SortAggregate)
+    inferred = from_domain.unionByName(from_range).dropDuplicates()
     return inferred
 
 

@@ -224,9 +224,21 @@ def _stage_extract(
     # early set-semantics dedupe: rdflib graphs dedupe on add (the reference's
     # implicit behavior) and repeated nested entities (same md5 URI across
     # blobs) collapse 3×+ here — every downstream shuffle gets that much
-    # lighter; dropDuplicates does map-side partial dedupe before the shuffle
-    return remove_empty_literals(extracted).dropDuplicates(
-        ["subject", "predicate", "object_lex", "object_kind"]
+    # lighter; dropDuplicates does map-side partial dedupe before the shuffle.
+    # Project to the 5 triple columns FIRST: nothing downstream of the
+    # flagship reads provenance (fuse selects TRIPLE_COLS), so carrying the
+    # repo/path/commit strings through the dedupe exchange and every later
+    # shuffle is pure wasted bytes (guide §2.3), and keeping them made the
+    # dedupe a first()-of-strings SortAggregate. Deduping on ALL five columns
+    # is a pure-grouping HashAggregate (no sort); it is equivalent to the
+    # 4-col dedupe because object_datatype is functionally determined by
+    # (subject, predicate, object_lex, object_kind) here — subjects are
+    # content-hash minted, so identical (s,p,o,kind) rows come from identical
+    # blobs parsed deterministically (driver-oracle-verified).
+    return (
+        remove_empty_literals(extracted)
+        .select(*TRIPLE_COLS)
+        .dropDuplicates()
     )
 
 
@@ -247,11 +259,15 @@ def _stage_link_canonicalize(
     # canonicalization: same-label entities (post-linking) → connected
     # components, computed on the label rows only (a small projection of the
     # KG), never on the full triple set
+    # repartition by norm BEFORE the distinct: HashPartitioning(norm)
+    # satisfies the clustering of both the (subject, norm) distinct and the
+    # per-norm window below, so the whole edge build costs one exchange
     label_pairs = (
         canonicalize_triples(
             extracted.filter(F.col("predicate") == RDFS_LABEL), lmap
         )
         .select("subject", normalize_label(F.col("object_lex")).alias("norm"))
+        .repartition("norm")
         .distinct()
     )
     # star edges, not a pairwise self-join: every member of a same-label
@@ -259,9 +275,16 @@ def _stage_link_canonicalize(
     # components) is identical, but edge count is LINEAR in group size —
     # a hot label ("readme", "main") with 100k members yields 100k-1 edges
     # instead of ~5e9 pairs. No frequency cap needed.
-    hubs = label_pairs.groupBy("norm").agg(F.min("subject").alias("src"))
+    # ONE exchange: repartition by norm up front, then the distinct above
+    # (keys ⊇ norm) and a whole-partition window-min both stay partition-
+    # local — replaces the old groupBy(norm) + join-back-to-hubs shape
+    # (3 exchanges + a join) with identical (src, dst) rows (guide §2.4).
+    from pyspark.sql.window import Window
+
     dup_edges = (
-        label_pairs.join(hubs, "norm")
+        label_pairs.withColumn(
+            "src", F.min("subject").over(Window.partitionBy("norm"))
+        )
         .filter(F.col("subject") != F.col("src"))
         .select("src", F.col("subject").alias("dst"))
     )
@@ -328,10 +351,14 @@ def _stage_fuse_complete(
     # (existing ∪ inferred) instead of re-shuffling the whole KG — the
     # non-type partition is already exact from fuse_first_value
     inferred = type_inference_simple(fused, ontology)
+    # all-column dedupe: rdf:type rows carry object_kind='uri' and a null
+    # datatype in both branches, so this equals the 4-col dedupe while
+    # planning as a pure-grouping HashAggregate instead of a
+    # first()-of-strings SortAggregate
     types = (
         fused.filter(F.col("predicate") == RDF_TYPE)
         .unionByName(inferred)
-        .dropDuplicates(["subject", "predicate", "object_lex", "object_kind"])
+        .dropDuplicates()
     )
     completed = fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
     return completed
@@ -450,11 +477,12 @@ def align_kg_increment(
     # filter) — localCheckpoint so the fusion isn't recomputed per branch
     fused = fuse_first_value(kg, canon2, fusable).localCheckpoint()
     inferred = type_inference_simple(fused, ontology)
-    dedup_cols = ["subject", "predicate", "object_lex", "object_kind"]
+    # all-column dedupe == 4-col dedupe for rdf:type rows (kind='uri',
+    # datatype null in both branches) but plans as a HashAggregate
     types = (
         fused.filter(F.col("predicate") == RDF_TYPE)
         .unionByName(inferred)
-        .dropDuplicates(dedup_cols)
+        .dropDuplicates()
     )
     return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
 

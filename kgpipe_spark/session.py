@@ -61,10 +61,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1): join results are identical, but SHJ skips
+        # both sort passes. AQE's SMJ→SHJ rewrite threshold is sized to the
+        # advisory partition size so a post-coalesce partition always fits;
+        # both knobs are env-overridable for cluster tuning.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g default on this 128 GiB sandbox: local-mode executor memory IS
+        # the driver JVM, and 32 concurrent tasks over cached KG views spill
+        # under 8g; on a cluster the driver does no data work and this is
+        # overridden per deployment (SPARK_DRIVER_MEMORY)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
