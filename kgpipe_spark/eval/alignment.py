@@ -24,17 +24,22 @@ def subtract_kg(triples: DataFrame, seed: DataFrame) -> DataFrame:
 def fact_alignment(actual: DataFrame, expected: DataFrame) -> DataFrame:
     """One-row DataFrame: tp, fp, fn, precision, recall, f1 (rounded 6dp).
 
-    ONE job: full-outer join on the triple key + a single aggregation
-    (round 1 fired three independent count jobs, each re-deriving both
-    inputs — the slowest non-UDF query in BENCH_r01)."""
-    a = actual.select(*_KEY).distinct().withColumn("_a", F.lit(1))
-    e = expected.select(*_KEY).distinct().withColumn("_e", F.lit(1))
+    ONE job and ONE exchange: both sides are tagged and unioned, then a
+    single groupBy on the triple key (max of the tags = set membership —
+    subsumes the per-side distincts) feeds the final 1-row rollup. The
+    round-1 shape fired three count jobs; the round-5 shape still paid two
+    distinct exchanges plus a full-outer sort-merge join on the 4-column
+    key — same answer, three sorts more."""
+    a = actual.select(*_KEY).withColumn("_a", F.lit(1)).withColumn("_e", F.lit(0))
+    e = expected.select(*_KEY).withColumn("_a", F.lit(0)).withColumn("_e", F.lit(1))
     row = (
-        a.join(e, _KEY, "full_outer")
+        a.unionByName(e)
+        .groupBy(*_KEY)
+        .agg(F.max("_a").alias("in_a"), F.max("_e").alias("in_e"))
         .agg(
-            F.sum(F.when(F.col("_a").isNotNull() & F.col("_e").isNotNull(), 1).otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("_a").isNotNull() & F.col("_e").isNull(), 1).otherwise(0)).alias("fp"),
-            F.sum(F.when(F.col("_a").isNull() & F.col("_e").isNotNull(), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_e") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_e") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("in_a") == 0) & (F.col("in_e") == 1), 1).otherwise(0)).alias("fn"),
         )
         .collect()[0]
     )

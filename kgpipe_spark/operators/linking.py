@@ -359,11 +359,26 @@ def minted_near_edges(
             )
         ).alias("bb"),
     ).select("uri", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # in-bucket pair explode instead of a banded self-join (one exchange,
+    # no join; identical uri_a < uri_b pair set — see dedup.minhash_lsh_pairs)
     cand = (
-        banded.select(F.col("uri").alias("uri_a"), "band", "bucket")
-        .join(banded.select(F.col("uri").alias("uri_b"), "band", "bucket"), ["band", "bucket"])
-        .filter(F.col("uri_a") < F.col("uri_b"))
-        .select("uri_a", "uri_b")
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("uri")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("uri_a"), y.alias("uri_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.uri_a", "p.uri_b")
         .dropDuplicates()
     )
     g = grams.select("uri", "grams")
