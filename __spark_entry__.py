@@ -2854,72 +2854,68 @@ def _emb_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-# Recorded-window priority: queries whose behavior changed this round or that
-# were never driver-recorded come first, then the registrations that fell
-# outside the round-2 window — the 9 rel_* (4 were red in round 1), doc_*,
-# emb_*, and the soft/coverage queries.
+# Recorded-window priority (round 6 = the optimization round): the 24
+# queries whose most recent driver verdict is still round 2 rotate in first
+# (VERDICT r5 "next round" #1 — after this window no registration's latest
+# verdict is older than round 4), then every query whose internals this
+# round's optimizations touched (minhash gram-hash verification + in-bucket
+# pair explode, hash-dedupe rewrites in extract/canonicalize/type paths,
+# single-pass fact alignment, fuse source plan cut), then the heaviest
+# still-round-4 bench names.
 _RECORD_FIRST = [
-    # ---- round-5 window (exactly 50 = the driver's recorded window). ----
-    # new this round
-    "rel_windowed_counts",
-    # never driver-recorded before round 5 (ADVICE r4 medium: three of these
-    # were registered in r3/r4 outside the window; the rest fell out in r2-r4
-    # rotations — preflight/test_contract now fail if this set is non-empty)
-    "kg_paris_exchange",
-    "kg_json_typed_literals",
-    "kg_te_json_roundtrip",
-    "kg_preference_fusion",
-    "kg_link_or_mint",
-    "kg_link_embed_top1",
-    "kg_map_matched_relations",
-    "kg_valentine_schema_match",
-    "doc_media_features",
-    "doc_media_frame_plan",
-    "kg_json_sampler",
-    "kg_extract_ontology",
-    "kg_streaming_ingest",
-    # behavior touched in round 5 (stage-boundary cut, _blocked_top1
-    # materialization + small-target assert, persist->localCheckpoint in
-    # soft/matching/MSP/pipeline tails)
+    # ---- last driver verdict round 2 (oldest first claim on the window) ----
+    "kg_allowed_predicates",
+    "kg_cluster_file_pairs",
+    "kg_datatype_format_violations",
+    "kg_disjoint_class_violations",
+    "kg_duplicate_entities",
+    "kg_er_matching_eval",
+    "kg_er_relation_eval",
+    "kg_jsonpath_mapping",
+    "kg_labelish_keys",
+    "kg_load_drop_altlabel",
+    "kg_ntriples_lines",
+    "kg_ntriples_roundtrip",
+    "kg_object_prop_violations",
+    "kg_ontology_class_coverage",
+    "kg_ontology_namespace_coverage",
+    "kg_ontology_relation_coverage",
+    "kg_pivot_wide",
+    "kg_prefix_expansion",
+    "kg_relation_direction",
+    "kg_remove_empty_literals",
+    "kg_sameas_provenance",
+    "kg_te_filter_links",
+    "kg_token_blocking_matches",
+    "kg_type_namespace_filter",
+    # ---- internals changed by round-6 optimizations ----
+    "doc_minhash_lsh_pairs",
+    "kg_link_two_pass",
+    "kg_fact_alignment",
+    "kg_eval_report",
+    "kg_type_inference",
+    "kg_fuse_first_value",
+    "kg_canonicalize_triples",
     "kg_flagship_pipeline",
     "kg_flagship_stats",
     "kg_pipeline_json_a",
-    "kg_pipeline_text_a",
     "kg_pipeline_json_b",
+    "kg_pipeline_text_a",
     "kg_pipeline_text_b",
     "kg_pipeline_rdf_a",
     "kg_pipeline_rdf_b",
-    "kg_te_construct_full",
-    "kg_relation_link_top1",
-    "kg_soft_fact_alignment_entities",
-    "kg_soft_fact_alignment_values",
-    "kg_paris_blocked_matching",
     "kg_incremental_3stage",
     "kg_incremental_msp_perm2",
-    "kg_eval_report",
-    # rotation: stable queries whose last driver verdict is round 2 (oldest
-    # first claim on the remaining slots; the ~24 still-r2 names rotate into
-    # the round-6 window)
-    "kg_extract_triples",
-    "kg_json_extract",
-    "kg_fuse_first_value",
-    "kg_connected_components",
-    "kg_canonicalize_triples",
-    "kg_canonical_map",
-    "kg_fact_alignment",
-    "kg_fuse_union",
-    "kg_fuse_majority",
-    "kg_match_edges",
-    "kg_best_match_1to1",
-    "kg_aggregate_matches",
-    "kg_statistics",
-    "kg_class_histogram",
-    "kg_predicate_histogram",
-    "kg_domain_violations",
-    "kg_datatype_violations",
-    "kg_cardinality_violations",
-    "kg_type_inference",
-    "kg_seed_subtract",
+    # ---- heaviest still-round-4 names (bench set + dedup family) ----
+    "doc_ngram_jaccard_pairs",
+    "doc_dedup_exact",
+    "doc_simhash",
+    "rel_q1_pricing_summary",
+    "rel_q3_top10",
+    "rel_window_top_orders",
+    "rel_events_sessionize",
+    "emb_cosine_topk",
+    "emb_ivf_recall",
 ]
 
 
