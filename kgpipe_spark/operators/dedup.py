@@ -188,9 +188,12 @@ def minhash_lsh_pairs(
     # candidates per bucket via ONE groupBy + in-bucket pair explode instead
     # of the banded self-join (which exchanged the banded table twice and
     # joined): same (id_a < id_b) pair set, measured ~40% faster. Both forms
-    # emit O(k²) pairs for a k-doc bucket; the collect_list additionally
-    # holds one k-element id array per bucket, bounded because bucket
-    # membership is capped by the band collision rate, not corpus size.
+    # emit O(k²) pairs for a k-doc bucket — a mega-bucket (1M exact copies
+    # of one doc share every band) kills either shape via its own k² output,
+    # which is why exact dedup runs upstream; the k-element id array this
+    # form additionally buffers is the smaller of the two costs (8 B/doc vs
+    # k² joined rows). Contrast ngram_jaccard_pairs / simhash, where blocks
+    # grow with the corpus and the streamed join is kept.
     cand = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -248,6 +251,12 @@ def ngram_jaccard_pairs(
         .dropDuplicates()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # NOTE: the in-bucket pair-explode rewrite used in minhash_lsh_pairs was
+    # tried here and measured 87 s vs ~8 s at sf1.0 — ngram blocks run right
+    # up to the 2000-doc stop-shingle cap, and the interpreted nested
+    # transform materializes O(k²) structs per block, while the streamed
+    # self-join (AQE skew-splittable) handles large blocks gracefully. The
+    # join stays.
     block_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("bn")).filter(
         F.col("bn") <= max_block
     )
@@ -327,36 +336,14 @@ def simhash_near_duplicates(
             )
         ).alias("band_key"),
     )
-    # in-bucket pair explode instead of a banded self-join (one exchange,
-    # no join; same pair set — see minhash_lsh_pairs). The struct sort is
-    # by doc_id (unique per bucket), so id_a < id_b holds by construction
-    # and each pair carries both fingerprints without a join-back.
-    items = banded.select(F.struct("doc_id", "simhash").alias("ds"), "band_key")
-    cand = (
-        items.groupBy("band_key")
-        .agg(F.array_sort(F.collect_list("ds")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(
-                                x["doc_id"].alias("id_a"),
-                                x["simhash"].alias("ha"),
-                                y["doc_id"].alias("id_b"),
-                                y["simhash"].alias("hb"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.ha", "p.id_b", "p.hb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # kept as a streamed self-join (NOT the in-bucket pair explode used in
+    # minhash_lsh_pairs): byte-band pigeonhole buckets hold corpus_size/256
+    # docs per band value — they grow linearly with the corpus — and the
+    # interpreted nested-transform explode materializes O(k²) structs per
+    # bucket, while the join streams pairs and AQE can split skewed buckets.
+    a = banded.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band_key")
+    b = banded.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band_key")
+    cand = a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
     xor = F.col("ha").bitwiseXOR(F.col("hb"))
     hamming = F.bit_count(xor)
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(

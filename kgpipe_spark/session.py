@@ -77,11 +77,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # 16g default on this 128 GiB sandbox: local-mode executor memory IS
-        # the driver JVM, and 32 concurrent tasks over cached KG views spill
-        # under 8g; on a cluster the driver does no data work and this is
-        # overridden per deployment (SPARK_DRIVER_MEMORY)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # 24g default on this 128 GiB sandbox: local-mode executor memory IS
+        # the driver JVM; 32 concurrent tasks over cached KG views spill
+        # under 8g, and event-log forensics show GC storms (167 task-seconds
+        # GC in one 17 s extraction stage) when hypervisor steal starves GC
+        # threads — headroom blunts them (interleaved A/B: flagship min 13.1
+        # vs 11.9 s under load 18-21). On a cluster the driver does no data
+        # work and deployments override this (SPARK_DRIVER_MEMORY).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
