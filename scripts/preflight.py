@@ -49,6 +49,19 @@ def recorded_ever(root: str = _ROOT) -> set:
     return names
 
 
+def latest_recorded_round(root: str = _ROOT) -> dict:
+    """name -> newest round number whose CORRECTNESS_r*.json contains it."""
+    latest: dict = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+            for n in json.load(open(p)):
+                latest[n] = max(latest.get(n, 0), rnd)
+        except Exception:
+            pass
+    return latest
+
+
 def contract_errors(entrymod) -> list:
     """All contract violations for the given entry module (empty = clean)."""
     errors: list = []
@@ -90,6 +103,24 @@ def contract_errors(entrymod) -> list:
             f"{len(never)} registrations never driver-recorded and outside the "
             f"first-{RECORD_WINDOW} window: {never}"
         )
+
+    # max-staleness (VERDICT r5 #1): a query whose most recent driver verdict
+    # is more than 2 rounds behind the newest artifact must be in the
+    # upcoming window so the next recording refreshes it — fail-closed, same
+    # spirit as the never-recorded check above
+    latest = latest_recorded_round()
+    if latest:
+        newest = max(latest.values())
+        too_stale = sorted(
+            n for n in queries
+            if latest.get(n, 0) < newest - 2 and n not in window
+        )
+        if too_stale:
+            errors.append(
+                f"{len(too_stale)} registrations with a driver verdict older "
+                f"than round {newest - 2} and outside the first-"
+                f"{RECORD_WINDOW} window: {too_stale}"
+            )
 
     for name, fn in queries.items():
         if not callable(fn):
