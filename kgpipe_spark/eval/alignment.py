@@ -29,17 +29,33 @@ def fact_alignment(actual: DataFrame, expected: DataFrame) -> DataFrame:
     subsumes the per-side distincts) feeds the final 1-row rollup. The
     round-1 shape fired three count jobs; the round-5 shape still paid two
     distinct exchanges plus a full-outer sort-merge join on the 4-column
-    key — same answer, three sorts more."""
+    key — same answer, three sorts more.
+
+    Null-key fidelity: the old full_outer join was null-UNSAFE (a null key
+    never matches across sides) while its per-side distincts were null-SAFE
+    (null-keyed duplicates collapse). The groupBy reproduces the distinct;
+    the ``has_null`` guard below reproduces the join — a null-keyed group
+    counts as fp and/or fn, never tp, exactly as before."""
     a = actual.select(*_KEY).withColumn("_a", F.lit(1)).withColumn("_e", F.lit(0))
     e = expected.select(*_KEY).withColumn("_a", F.lit(0)).withColumn("_e", F.lit(1))
+    has_null = None
+    for k in _KEY:
+        cond = F.col(k).isNull()
+        has_null = cond if has_null is None else (has_null | cond)
     row = (
         a.unionByName(e)
         .groupBy(*_KEY)
         .agg(F.max("_a").alias("in_a"), F.max("_e").alias("in_e"))
         .agg(
-            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_e") == 1), 1).otherwise(0)).alias("tp"),
-            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_e") == 0), 1).otherwise(0)).alias("fp"),
-            F.sum(F.when((F.col("in_a") == 0) & (F.col("in_e") == 1), 1).otherwise(0)).alias("fn"),
+            F.sum(
+                F.when((~has_null) & (F.col("in_a") == 1) & (F.col("in_e") == 1), 1).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (has_null | (F.col("in_e") == 0)), 1).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("in_e") == 1) & (has_null | (F.col("in_a") == 0)), 1).otherwise(0)
+            ).alias("fn"),
         )
         .collect()[0]
     )

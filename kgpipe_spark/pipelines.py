@@ -262,11 +262,15 @@ def _stage_link_canonicalize(
     # repartition by norm BEFORE the distinct: HashPartitioning(norm)
     # satisfies the clustering of both the (subject, norm) distinct and the
     # per-norm window below, so the whole edge build costs one exchange
+    # norm.isNotNull(): the old hubs inner join was null-unsafe, so
+    # null-normalized labels never formed edges — keep that explicit now
+    # that the window groups nulls together
     label_pairs = (
         canonicalize_triples(
             extracted.filter(F.col("predicate") == RDFS_LABEL), lmap
         )
         .select("subject", normalize_label(F.col("object_lex")).alias("norm"))
+        .filter(F.col("norm").isNotNull())
         .repartition("norm")
         .distinct()
     )

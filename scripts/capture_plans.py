@@ -32,6 +32,8 @@ BENCH_SET = [
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("before", "after"):
+        raise SystemExit("usage: capture_plans.py before|after [query ...]")
     tag = sys.argv[1]
     names = sys.argv[2:] or BENCH_SET
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

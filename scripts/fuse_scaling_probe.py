@@ -119,9 +119,12 @@ def pair() -> None:
         r = subprocess.run(
             [sys.executable, me, "run", str(cores)], capture_output=True, text=True
         )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        out[cores] = json.loads(line)
-        print(line)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not lines:
+            sys.stderr.write(r.stderr[-2000:])
+            raise SystemExit(f"leg local[{cores}] failed (rc={r.returncode})")
+        out[cores] = json.loads(lines[-1])
+        print(lines[-1])
     speedup = out[2]["best"] / out[8]["best"]
     print(
         json.dumps(

@@ -26,6 +26,24 @@ def test_fact_alignment_prf(spark):
     assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["f1"] == 0.5
 
 
+def test_fact_alignment_null_keys_never_match(spark):
+    """Null-key fidelity of the single-exchange rewrite: a null-keyed triple
+    present on BOTH sides counts as fp AND fn (the old null-unsafe
+    full_outer join), never tp, while null-keyed duplicates within one side
+    still collapse (the old null-safe distinct)."""
+    actual = t(
+        spark,
+        [
+            ("s", "p", None, "literal", None),
+            ("s", "p", None, "literal", None),  # dup collapses side-locally
+            ("s", "p", "o1", "literal", None),
+        ],
+    )
+    expected = t(spark, [("s", "p", None, "literal", None), ("s", "p", "o1", "literal", None)])
+    r = fact_alignment(actual, expected).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 1)
+
+
 def test_subtract_kg(spark):
     a = t(spark, [("s", "p", "o", "literal", None), ("s", "p", "o2", "literal", None)])
     seed = t(spark, [("s", "p", "o", "literal", None)])
