@@ -46,6 +46,15 @@ def type_inference_simple(triples: DataFrame, ontology: DataFrame) -> DataFrame:
     """Emit (s, rdf:type, domain) and (o, rdf:type, range) for every triple
     whose predicate has a declared domain/range (`type_completion.py:8-45`).
     Ontology is tiny → broadcast joins; result deduped."""
+    return type_inference_branches(triples, ontology).dropDuplicates()
+
+
+def type_inference_branches(triples: DataFrame, ontology: DataFrame) -> DataFrame:
+    """``type_inference_simple`` WITHOUT the final dedupe — for callers that
+    fold the inferred rows into their own grouping anyway (the pipeline
+    type-completion tails), so the inference costs zero exchanges of its
+    own. Rows may repeat; every row carries object_kind='uri' and a null
+    object_datatype."""
     onto = F.broadcast(
         ontology.select(F.col("uri").alias("predicate"), "domain", "range", "is_object_prop")
     )
@@ -74,12 +83,12 @@ def type_inference_simple(triples: DataFrame, ontology: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("object_datatype"),
         )
     )
-    # all-column dedupe: every inferred row carries object_kind='uri' and a
-    # null datatype, so deduping on all 5 columns equals the 3-col dedupe
-    # while planning as a pure-grouping HashAggregate (the subset form kept
-    # first()-of-strings for the other columns — a SortAggregate)
-    inferred = from_domain.unionByName(from_range).dropDuplicates()
-    return inferred
+    # all-column dedupe (in type_inference_simple): every inferred row
+    # carries object_kind='uri' and a null datatype, so deduping on all 5
+    # columns equals the 3-col dedupe while planning as a pure-grouping
+    # HashAggregate (the subset form kept first()-of-strings for the other
+    # columns — a SortAggregate)
+    return from_domain.unionByName(from_range)
 
 
 def ntriples_lines(triples: DataFrame) -> DataFrame:

@@ -31,7 +31,7 @@ from kgpipe_spark.operators.linking import (
     link_exact,
     link_or_mint,
 )
-from kgpipe_spark.operators.transform import remove_empty_literals, type_inference_simple
+from kgpipe_spark.operators.transform import remove_empty_literals, type_inference_branches
 from kgpipe_spark.functions.hashing import mint_uri_sha256
 from kgpipe_spark.functions.strings import normalize_label
 from kgpipe_spark.schemas import KG_NS, RDF_TYPE, RDFS_LABEL, TRIPLE_COLS, XSD_STRING
@@ -331,6 +331,45 @@ def default_flagship_ontology(spark: SparkSession, seed: DataFrame) -> DataFrame
     )
 
 
+def _complete_with_types(fused: DataFrame, ontology: DataFrame) -> DataFrame:
+    """Type-complete a ``fuse_first_value`` output: fused ∪ inferred types
+    not already present.
+
+    ``fused`` is (s,p,o,kind)-unique by fuse_first_value construction
+    (seed_d / first_vals / new_rest are each grouped on that key and
+    mutually disjoint), so the former
+    ``fused.filter(≠type) ∪ dedup(existing_types ∪ inferred)`` equals
+    tagging existing(1)/inferred-raw(2), keeping ``min(tag)==2`` groups
+    from ONE groupBy over the 5 triple columns, and unioning them onto the
+    UNSPLIT fused KG (the same tag-and-group shape as the fact_alignment
+    rewrite). Honest plan accounting: the exchange count is unchanged —
+    RemoveRedundantAggregates already collapsed the inference's internal
+    dedupe into the type-subset dedupe — the gains are that the full KG no
+    longer pays a ≠type filter re-evaluation on its union branch, the
+    aggregate emits only the genuinely-new type rows instead of the whole
+    type subset, and the single-exchange shape is now explicit in code
+    instead of depending on an optimizer rule. (A broadcast-anti-join form
+    measured ~0.5 s faster at sf1.0 locally but only because the type
+    subset broadcasts; past the broadcast threshold it plans 3 exchanges
+    vs this form's 1 — rejected as a local-only win.) groupBy treats nulls
+    as equal exactly like dropDuplicates did (rdf:type rows carry a null
+    object_datatype). Verified row-identical to the dedupe form, including
+    a forced existing∩inferred overlap (scripts/ab_fuse_tail.py;
+    tests/test_pipeline.py).
+    """
+    inferred = type_inference_branches(fused, ontology)
+    existing = fused.filter(F.col("predicate") == RDF_TYPE)
+    new_types = (
+        existing.withColumn("_t", F.lit(1))
+        .unionByName(inferred.withColumn("_t", F.lit(2)))
+        .groupBy(*TRIPLE_COLS)
+        .agg(F.min("_t").alias("_m"))
+        .filter(F.col("_m") == 2)
+        .select(*TRIPLE_COLS)
+    )
+    return fused.unionByName(new_types)
+
+
 def _stage_fuse_complete(
     spark: SparkSession,
     canonical: DataFrame,
@@ -341,9 +380,9 @@ def _stage_fuse_complete(
     if ontology is None:
         ontology = default_flagship_ontology(spark, seed)
 
-    # plan cut (not persist): three downstream references (non-type
-    # partition, existing types, type inference) would otherwise each carry
-    # the full fuse plan — see _stage_cut for the eager-vs-lazy A/B
+    # plan cut (not persist): three downstream references (full-KG union,
+    # existing types, type inference) would otherwise each carry the full
+    # fuse plan — see _stage_cut for the eager-vs-lazy A/B
     fused = _stage_cut(
         fuse_first_value(
             seed.select(*TRIPLE_COLS),
@@ -351,21 +390,9 @@ def _stage_fuse_complete(
             fusable=_fusable(spark, ontology),
         )
     )
-    # type completion touches only rdf:type rows: dedupe the type SUBSET
-    # (existing ∪ inferred) instead of re-shuffling the whole KG — the
-    # non-type partition is already exact from fuse_first_value
-    inferred = type_inference_simple(fused, ontology)
-    # all-column dedupe: rdf:type rows carry object_kind='uri' and a null
-    # datatype in both branches, so this equals the 4-col dedupe while
-    # planning as a pure-grouping HashAggregate instead of a
-    # first()-of-strings SortAggregate
-    types = (
-        fused.filter(F.col("predicate") == RDF_TYPE)
-        .unionByName(inferred)
-        .dropDuplicates()
-    )
-    completed = fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
-    return completed
+    # type completion touches only rdf:type rows; tag-and-group form —
+    # equivalence + plan accounting in _complete_with_types
+    return _complete_with_types(fused, ontology)
 
 
 def run_flagship(
@@ -477,18 +504,12 @@ def align_kg_increment(
         .select(F.col("id_2").alias("entity"), F.col("id_1").alias("canonical"))
     )
     canon2 = canonicalize_triples(src_triples, mmap)
-    # fused feeds three consumers (type filter, inference join, non-type
-    # filter) — localCheckpoint so the fusion isn't recomputed per branch
+    # fused feeds three consumers (full-KG union, type filter, inference
+    # join) — localCheckpoint so the fusion isn't recomputed per branch
     fused = fuse_first_value(kg, canon2, fusable).localCheckpoint()
-    inferred = type_inference_simple(fused, ontology)
-    # all-column dedupe == 4-col dedupe for rdf:type rows (kind='uri',
-    # datatype null in both branches) but plans as a HashAggregate
-    types = (
-        fused.filter(F.col("predicate") == RDF_TYPE)
-        .unionByName(inferred)
-        .dropDuplicates()
-    )
-    return fused.filter(F.col("predicate") != RDF_TYPE).unionByName(types)
+    # tag-and-group type completion — equivalence + plan accounting in
+    # _complete_with_types
+    return _complete_with_types(fused, ontology)
 
 
 def run_incremental_msp(

@@ -342,3 +342,51 @@ def test_incremental_msp_order_permutations_converge(spark):
     assert len(subjects_cd) == len(subjects_dc)
     assert ("http://kg.org/prop/z" in {p for _, p, *_ in cd})
     assert ("http://kg.org/prop/z" in {p for _, p, *_ in dc})
+
+
+def test_complete_with_types_equals_dedupe_form(spark):
+    """The tag-and-group type completion must reproduce the former
+    dedup(existing_types ∪ inferred) exactly — including the null-as-equal
+    semantics dropDuplicates gives the null object_datatype of rdf:type
+    rows (a null-unsafe formulation, e.g. a column-list anti join, would
+    keep every overlapping inferred row as a duplicate)."""
+    from kgpipe_spark.operators.transform import type_inference_simple
+    from kgpipe_spark.pipelines import _complete_with_types
+    from kgpipe_spark.schemas import RDF_TYPE
+
+    # (s,p,o,kind)-unique fused KG, as fuse_first_value guarantees:
+    #  - s1 already typed o:A (overlaps the inference from p:d's domain)
+    #  - s2 untyped, gains o:A via domain and o:B via range on its object
+    #  - s3's type o:C has no inference source (must pass through untouched)
+    fused = spark.createDataFrame(
+        [
+            ("e:s1", RDF_TYPE, "o:A", "uri", None),
+            ("e:s1", "p:d", "e:x", "uri", None),
+            ("e:s2", "p:d", "e:y", "uri", None),
+            ("e:s3", RDF_TYPE, "o:C", "uri", None),
+            ("e:s1", "p:lit", "v", "literal", "xsd:string"),
+        ],
+        "subject string, predicate string, object_lex string, object_kind string, object_datatype string",
+    )
+    ontology = spark.createDataFrame(
+        [("p:d", "d", None, "o:A", "o:B", "true", 1)],
+        "uri string, label string, aliases array<string>, domain string, range string, is_object_prop string, max_cardinality int",
+    )
+    inferred = type_inference_simple(fused, ontology)
+    reference = (
+        fused.filter(F.col("predicate") != RDF_TYPE)
+        .unionByName(
+            fused.filter(F.col("predicate") == RDF_TYPE)
+            .unionByName(inferred)
+            .dropDuplicates()
+        )
+    )
+    got = _complete_with_types(fused, ontology)
+    ref_rows = sorted(tuple(r) for r in reference.collect())
+    got_rows = sorted(tuple(r) for r in got.collect())
+    assert got_rows == ref_rows
+    # the overlap row (s1, type, A) must appear exactly once
+    assert got_rows.count(("e:s1", RDF_TYPE, "o:A", "uri", None)) == 1
+    # and the inferred-only types made it in
+    assert ("e:s2", RDF_TYPE, "o:A", "uri", None) in got_rows
+    assert ("e:y", RDF_TYPE, "o:B", "uri", None) in got_rows
