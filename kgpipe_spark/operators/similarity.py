@@ -25,6 +25,28 @@ def _dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _ensure_compute_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a compute-bound scoring input over at least the session's
+    cores.
+
+    The per-pair dot folds below are interpreted higher-order functions —
+    heavy CPU per row — while the embeddings input is often ONE small
+    parquet file (one row group = one scan task regardless of row count),
+    which serializes the whole O(n·q) pass on a single core. Repartition
+    ONLY when the scan carries fewer partitions than the session's default
+    parallelism: a real at-scale table has far more input splits than
+    cores, so this is a metadata probe and a no-op there; a pathologically
+    under-split input pays one tiny shuffle (rows × dim doubles) to unlock
+    every core (guide §2.5: repartition right after an unsplittable read).
+    Row values and all downstream ranks are unchanged — the top-k window
+    orders by (cosine, vec_id), a total order per query.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _norm(v: str | Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -44,8 +66,10 @@ def cosine_topk_bruteforce(
     streams through one codegen'd projection — no shuffle until the top-k
     window, which AQE keeps partition-local via partial top-k.
     """
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    e = _ensure_compute_parallelism(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
     ).withColumn("vnorm", _norm("v"))
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
@@ -125,8 +149,10 @@ def ivf_topk(
     cross-engine (no float means whose summation order varies with the
     shuffle), which is what the driver-gated recall query uses.
     """
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    e = _ensure_compute_parallelism(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
     )
     dim = len(e.select("v").first()[0])
 

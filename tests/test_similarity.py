@@ -50,6 +50,37 @@ def test_hyperplane_buckets_deterministic(spark, emb):
     assert len(set(b1.values())) > 1
 
 
+def test_compute_parallelism_guard(spark, emb):
+    """The under-split-input guard must (a) leave results bit-identical and
+    (b) no-op when the input already carries >= defaultParallelism
+    partitions (the at-scale case — no shuffle sneaks in)."""
+    from kgpipe_spark.operators.similarity import _ensure_compute_parallelism
+
+    df, vecs = emb
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)], "q_id bigint, q_vec array<double>"
+    )
+    # (a) results identical whether the input is 1-partition or spread
+    one_part = df.coalesce(1)
+    got_narrow = {
+        tuple(r) for r in cosine_topk_bruteforce(one_part, q, k=5).collect()
+    }
+    got_wide = {
+        tuple(r)
+        for r in cosine_topk_bruteforce(
+            df.repartition(spark.sparkContext.defaultParallelism), q, k=5
+        ).collect()
+    }
+    assert got_narrow == got_wide
+    # (b) already-parallel input passes through with its partitioning intact
+    wide = df.repartition(spark.sparkContext.defaultParallelism + 3)
+    out = _ensure_compute_parallelism(wide)
+    assert out is wide
+    # under-split input is spread to the session parallelism
+    spread = _ensure_compute_parallelism(one_part)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_ivf_recall_at_partial_probe(spark):
     """IVF at nprobe=2/8 with raw sample centroids must keep recall high on
     the driver's embeddings table (round-1 verdict #10)."""
