@@ -52,6 +52,18 @@ def get_spark(
     if m and int(m.group(1)) < (os.cpu_count() or 1):
         n = int(m.group(1))
         gc_opts = f"-XX:ParallelGCThreads={n} -XX:ConcGCThreads={max(1, n // 4)}"
+    # Throughput-oriented GC by default: this workload is pure batch — each
+    # query allocates and drops whole checkpoint/cache block sets, and with
+    # G1 (the JDK default) that garbage is collected lazily DURING the next
+    # queries' timed windows (the "GC debt" pattern documented in
+    # OPTIMIZATION_r06.md). ParallelGC's compacting throughput collections
+    # clear it at allocation time: alternating whole-bench A/B at
+    # sf1.0-shaped data reads 23.6/26.7 s (parallel) vs 32.9/33.6 s (G1),
+    # and no worse at sf0.1. Env-overridable (SPARK_GC_OPTS="" restores the
+    # JVM default) — deployments with >32 GB executor heaps or latency
+    # SLOs should prefer G1/ZGC there.
+    extra_jvm = os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC")
+    gc_opts = f"{gc_opts} {extra_jvm}".strip()
 
     builder = (
         SparkSession.builder.appName(app_name)
